@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: BFS-crawl a deterministic synthetic web corpus
+(5,000 pages derived from the sf0.001 documents row count) into interleaved
+span documents, then run a ranked full-text search over them (the two
+halves of the GoProwl pipeline, SURVEY.md §3.1/§3.2).
+
+``queries()`` / ``oracle_sql()`` live in goprowl_spark.contract — one entry
+per implemented operator from SURVEY.md §2 plus the training-data-pipeline
+operators, each paired with a DuckDB oracle where SQL can express it.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from goprowl_spark import contract, corpus
+from goprowl_spark import search as gsearch
+from goprowl_spark.crawl import CrawlConfig, CrawlEngine
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    n = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+        * contract.CORPUS_MULT
+    )
+    eng = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, n),
+        tempfile.mkdtemp(prefix="goprowl_entry_"),
+        CrawlConfig(seeds=[corpus.url(0)], max_depth=4),
+    )
+    eng.run()
+    return gsearch.search(eng.documents(), "title:page alpha", size=20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return contract.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return contract.oracle_sql()

@@ -1,0 +1,135 @@
+"""Benchmark harness.
+
+Headline metric (BASELINE.json): URLs fetched+deduped/sec over a synthetic
+frontier — the full crawl-round pipeline (window pop → fetch join → Arrow
+parse UDF → link explode → Bloom probe + exact anti-join → snapshot commit),
+measured end-to-end including per-round snapshot I/O.
+
+Scaling evidence (north_rule N vs 4N executors, sandbox stand-in): the same
+crawl on the same input at local[8] and local[32]; scaling efficiency =
+throughput(32) / (4 × throughput(8)). Reported in the JSON line and in
+BENCH/BASELINE.md.
+
+Also times the headline analytical queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1). Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CRAWL_N = int(os.environ.get("BENCH_CRAWL_N", "1000000"))
+CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "20000"))
+CRAWL_DEPTH = 2
+
+HEADLINE = [
+    "agg_q1",
+    "topk_per_group",
+    "broadcast_join_agg",
+    "tfidf_search",
+    "bm25_search",
+    "search_relevancy",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "emb_cosine_topk",
+    "token_counts",
+]
+
+
+def run_crawl(cores: int) -> dict:
+    """One full crawl at the given parallelism; returns throughput stats."""
+    from pyspark.sql import SparkSession
+
+    from goprowl_spark import corpus
+    from goprowl_spark.crawl import CrawlConfig, CrawlEngine
+    from goprowl_spark.session import get_spark
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = get_spark(f"bench-crawl-{cores}", cores=cores, shuffle_partitions=cores)
+    seeds = [corpus.url(i * (CRAWL_N // CRAWL_SEEDS)) for i in range(CRAWL_SEEDS)]
+    workdir = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_")
+    eng = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, CRAWL_N),
+        workdir,
+        CrawlConfig(seeds=seeds, max_depth=CRAWL_DEPTH),
+    )
+    t0 = time.time()
+    eng.run()
+    dt = time.time() - t0
+    m = eng.metrics().groupBy().sum("popped", "candidates").collect()[0]
+    fetched = int(m[0] or 0)
+    candidates = int(m[1] or 0)
+    seen = eng.seen().count()
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+    # fetched+deduped work units: every popped URL is fetched, every
+    # candidate passes the dedup filter
+    return {
+        "cores": cores,
+        "seconds": round(dt, 2),
+        "fetched": fetched,
+        "candidates_deduped": candidates,
+        "seen_final": seen,
+        "urls_per_sec": round((fetched + candidates) / dt, 1),
+    }
+
+
+def run_queries() -> dict[str, float]:
+    from goprowl_spark import contract
+    from goprowl_spark.session import get_spark
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = get_spark("bench-queries", cores=CPUS, shuffle_partitions=CPUS)
+    qs = contract.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        out[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    crawl8 = run_crawl(8)
+    crawl32 = run_crawl(32)
+    eff = crawl32["urls_per_sec"] / (4 * crawl8["urls_per_sec"])
+    queries = run_queries()
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "crawl": {
+            "n_pages": CRAWL_N,
+            "n_seeds": CRAWL_SEEDS,
+            "max_depth": CRAWL_DEPTH,
+            "local8": crawl8,
+            "local32": crawl32,
+            "urls_fetched_deduped_per_sec": crawl32["urls_per_sec"],
+            "scaling_efficiency_8_to_32": round(eff, 3),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

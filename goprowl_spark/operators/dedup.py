@@ -1,0 +1,308 @@
+"""Document deduplication — the operators a 100 TB training-data pipeline
+needs, layered from exact to fuzzy.
+
+The reference only *declares* content-hash dedup (PageContent.ContentHash,
+search/crawlers/types.go:41-46; TODO.md:54, never implemented). Rebuilt here
+as first-class distributed operators:
+
+* exact dedup        — hash-groupBy, one shuffle, keep min-id winner
+* n-gram Jaccard     — shingle inverted-index self-join (exact, no O(n²)
+                       cross join; frequent-shingle cap bounds the join
+                       fan-out at scale)
+* MinHash + LSH      — k hash permutations → banded signatures → bucket
+                       join → candidates verified with exact Jaccard; the
+                       standard near-dup path at web scale (the candidate
+                       join touches only colliding bands, never all pairs)
+* SimHash            — 64-bit weighted token fingerprint; Hamming-ball
+                       blocking via 4×16-bit sub-keys (any pair within
+                       Hamming distance ≤3 shares at least one sub-key)
+* embedding near-dup — cosine ≥ τ pairs, blocked (see similarity.py)
+
+All are pure DataFrame ops (shingling via JVM higher-order functions;
+hashing via xxhash64) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    """lower + collapse whitespace (shared by fingerprints and shingles)."""
+    return F.regexp_replace(F.lower(col), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate removal by content hash: one row per distinct text,
+    the minimum id wins (deterministic). Returns (id, text_hash, dup_count).
+
+    Single hash-partition shuffle on the digest; partial aggregation makes
+    the map side emit one row per (digest) per partition.
+    """
+    return (
+        df.select(F.col(id_col).alias("keep_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("keep_id").alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("keep_id", "text_hash", "dup_count")
+    )
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct n-word shingles as a JVM-side array expression (no UDF):
+    tokens[i..i+n-1] joined by space, for i in 0..len-n."""
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != F.lit(""))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def shingle_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via inverted-index join.
+
+    |A∩B| comes from the shingle self-join (only docs sharing a shingle
+    ever meet — no cross join); |A∪B| = |A|+|B|−|A∩B|. ``df_cap`` drops
+    shingles present in more than cap docs (stop-shingles), bounding the
+    join fan-out at corpus scale; when set it must be applied to the
+    oracle identically.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = shingle_postings(df, id_col, text_col, n)
+    if df_cap is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(freq.where(F.col("df") <= df_cap).select("shingle"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("sa")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------ minhash + lsh
+
+def minhash_signature(text_col, k: int = 64):
+    """k-permutation MinHash over word 3-shingles, entirely JVM-side:
+    permutation p's hash of shingle s is xxhash64(concat(s, '#', p)); the
+    signature element is the min over shingles (empty docs → null)."""
+    sh = word_shingles(text_col, 3)
+    ps = F.sequence(F.lit(0), F.lit(k - 1))
+    return F.transform(
+        ps,
+        lambda p: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(F.concat(s, F.lit("#"), p.cast("string"))))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact Jaccard verification.
+
+    Banding: k/bands rows per band; docs colliding on any band's hashed
+    sub-signature become candidates (bucket equi-join — the only shuffle
+    that matters; at 10^10 docs the band table is bucketed on band_key).
+    Candidates are then verified with exact n-gram Jaccard so the output
+    contains no false positives; recall is the standard LSH S-curve
+    1-(1-j^r)^b.
+    Returns (id_a, id_b, jaccard) — verified pairs.
+    """
+    r = k // bands
+    sig = df.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(F.col(text_col), k).alias("sig"),
+    ).where(F.element_at("sig", 1).isNotNull())
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+    left = band_rows.select(F.col("doc_id").alias("id_a"), "band", "band_key")
+    right = band_rows.select(F.col("doc_id").alias("id_b"), "band", "band_key")
+    candidates = (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verification of the (small) candidate set
+    sh = shingle_postings(df, id_col, text_col, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    verified = (
+        candidates.join(
+            sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("sh_b")),
+            "id_b",
+        )
+        .where(F.col("shingle") == F.col("sh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("sa")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# ------------------------------------------------------------ simhash
+
+def simhash_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — per-bit majority vote of token-hash bits weighted by
+    term frequency. Three narrow shuffles, all JVM-side."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != F.lit(""))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.xxhash64("term"))
+    )
+    bits = toks.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bit"),
+                        (
+                            F.when(
+                                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                                F.col("tf"),
+                            ).otherwise(-F.col("tf"))
+                        ).alias("w"),
+                    )
+                    for b in range(64)
+                ]
+            )
+        ).alias("bw"),
+    ).select("doc_id", "bw.bit", "bw.w")
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("w").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, using 4×16-bit
+    block keys: by pigeonhole any pair within distance ≤3 agrees on at
+    least one block, so the blocked equi-join loses nothing (standard
+    SimHash sharding; at scale each block key is a bucketed join key).
+    Returns (id_a, id_b, hamming)."""
+    sh = simhash_df(df, id_col, text_col)
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("block_key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.block", "bk.block_key")
+    a = blocks.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "block", "block_key"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "block", "block_key"
+    )
+    return (
+        a.join(b, ["block", "block_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,131 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The corpus's ``media`` spans (kind='media', media_ref=URL) become a media
+table with a deterministic synthetic payload (sandbox stand-in for blob
+fetch). Decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas UDFs over ``mapInPandas`` — the Spark-side plumbing
+(schemas, batch iteration, partitioning) is real and tested; the actual
+codec call is STUBBED behind an import-try (PIL/ffmpeg are not in this
+container): with no codec installed a clearly-marked deterministic fake
+decoder derives metadata from the payload bytes, so pipelines exercise
+identical shapes end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # real decoder if ever available — NOT in this sandbox
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+MEDIA_SCHEMA = "doc_id string, media_ref string, media_type string, payload binary"
+DECODED_SCHEMA = (
+    "doc_id string, media_ref string, media_type string, "
+    "width int, height int, n_channels int, n_bytes long"
+)
+RESIZED_SCHEMA = DECODED_SCHEMA + ", resized_w int, resized_h int"
+FRAMES_SCHEMA = "doc_id string, media_ref string, frame_idx int, frame_hash long"
+
+
+def media_table(documents: DataFrame) -> DataFrame:
+    """Explode media spans into a media table with a deterministic synthetic
+    payload (sha2 of the ref, 32 bytes — stands in for the fetched blob)."""
+    refs = documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media")),
+                lambda s: s["media_ref"],
+            )
+        ).alias("media_ref"),
+    )
+    ext = F.lower(F.element_at(F.split(F.col("media_ref"), r"\."), -1))
+    media_type = (
+        F.when(ext.isin("png", "jpg", "jpeg", "gif"), "image")
+        .when(ext.isin("mp4", "webm"), "video")
+        .when(ext.isin("mp3", "wav", "flac"), "audio")
+        .otherwise("binary")
+    )
+    return refs.select(
+        "doc_id",
+        "media_ref",
+        media_type.alias("media_type"),
+        F.unhex(F.sha2(F.col("media_ref"), 256)).alias("payload"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """STUB decoder: deterministic metadata from payload bytes.
+
+    Raises if anyone expects real pixels. Replace with PIL/libvips in a
+    real deployment; the UDF signature and batch shape do not change.
+    """
+    w = 64 + payload[0] % 192
+    h = 64 + payload[1] % 192
+    c = 1 + payload[2] % 4
+    return w, h, c
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: binary payload → typed metadata columns.
+
+    One Arrow batch per iteration; in production the body calls the codec
+    per batch (vectorized I/O), never per Spark row.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if _HAS_PIL and False:  # real path placeholder (no real images here)
+                raise NotImplementedError("real decode not wired in sandbox")
+            meta = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "n_channels": [m[2] for m in meta],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def resize_media(decoded: DataFrame, max_side: int = 128) -> DataFrame:
+    """Resize planning (aspect-preserving clamp) — pure Column math; the
+    pixel resample itself would live in the decode UDF in production."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_side)) / F.greatest(F.col("width"), F.col("height")),
+    )
+    return decoded.select(
+        "*",
+        F.floor(F.col("width") * scale).cast("int").alias("resized_w"),
+        F.floor(F.col("height") * scale).cast("int").alias("resized_h"),
+    )
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video rows: emits n deterministic frame stubs per
+    video via posexplode — the real decoder would seek those timestamps."""
+    vids = media.where(F.col("media_type") == "video")
+    return vids.select(
+        "doc_id",
+        "media_ref",
+        F.posexplode(F.array_repeat(F.lit(0), n_frames)).alias("frame_idx", "_z"),
+    ).select(
+        "doc_id",
+        "media_ref",
+        "frame_idx",
+        F.xxhash64(F.concat(F.col("media_ref"), F.lit("#"), F.col("frame_idx").cast("string"))).alias("frame_hash"),
+    )

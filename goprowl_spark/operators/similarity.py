@@ -1,0 +1,242 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Not in the Go reference (it has no vector path) — these are the
+training-data-pipeline operators the graft adds as first-class components:
+
+* :func:`cosine_topk`   — exact brute-force top-k (the correctness
+  baseline; a single scan + TakeOrdered, embarrassingly parallel)
+* :func:`ivf_topk`      — IVF-style coarse quantization: deterministic
+  centroids, cluster assignment as an argmin join, query probes the
+  ``nprobe`` nearest clusters only (the scale path: prunes the scan to
+  nprobe/C of the data; at 100 TB the assignment is precomputed and the
+  cluster id is a partition key)
+* :func:`lsh_bucket_topk` — random-hyperplane LSH bucketing with
+  deterministic arithmetic "planes" (no RNG — reproducibility rule)
+* :func:`cosine_pairs`  — embedding near-duplicate pairs (cosine ≥ τ)
+  blocked by a key column to avoid the full cross join
+
+All dot products are JVM-side ``aggregate``/``zip_with`` column algebra —
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _lit_vec(q: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in q])
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    Plan shape: one scan, per-partition partial top-k (TakeOrderedAndProject
+    under the limit), no shuffle of the full table.
+    """
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    sim = dot(F.col(vec_col).cast("array<double>"), _lit_vec(query_vec)) / (
+        norm(F.col(vec_col)) * F.lit(qn)
+    )
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def assign_clusters(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine; ties → the
+    first/lowest centroid id).
+
+    Dense argmax-over-C is linear algebra, not relational algebra — a
+    chained-CASE column expression blows up Catalyst codegen at C·dim
+    literals. An Arrow-batched pandas UDF doing one numpy matmul per batch
+    is the scale-correct shape (map-only, no shuffle; the centroid matrix
+    ships once per task like a broadcast)."""
+    order = sorted(centroids, key=lambda t: t[0])
+    cids = np.array([cid for cid, _ in order], dtype=np.int64)
+    cent = np.array([c for _, c in order], dtype=np.float64)
+    cn = np.linalg.norm(cent, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    cent_n = cent / cn
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        mn = np.linalg.norm(m, axis=1, keepdims=True)
+        mn[mn == 0] = 1.0
+        sims = (m / mn) @ cent_n.T
+        return pd.Series(cids[np.argmax(sims, axis=1)].astype("int32"))
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        assign(F.col(vec_col)).alias("cluster"),
+    )
+
+
+def deterministic_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the n lowest-id vectors serve as
+    centroids (no RNG / no k-means iterations — reproducibility over
+    optimality; swap in k-means|| on a real corpus)."""
+    rows = (
+        embeddings.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(j, [float(x) for x in r["v"]]) for j, r in enumerate(rows)]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose cluster is among the
+    ``nprobe`` centroids nearest the query. The cluster filter prunes the
+    scan (on a partitioned table it becomes partition pruning)."""
+    cents = deterministic_centroids(embeddings, n_centroids, id_col, vec_col)
+    qn = math.sqrt(sum(float(x) ** 2 for x in query_vec))
+
+    def cos_q(c: list[float]) -> float:
+        cn = math.sqrt(sum(float(x) ** 2 for x in c))
+        d = sum(float(x) * float(y) for x, y in zip(query_vec, c))
+        return d / (qn * cn) if qn and cn else -1.0
+
+    probe = sorted(cents, key=lambda t: (-cos_q(t[1]), t[0]))[:nprobe]
+    probe_ids = [cid for cid, _ in probe]
+    assigned = assign_clusters(embeddings, cents, id_col, vec_col)
+    sim = dot(F.col("embedding").cast("array<double>"), _lit_vec(query_vec)) / (
+        norm(F.col("embedding")) * F.lit(qn)
+    )
+    return (
+        assigned.where(F.col("cluster").isin(probe_ids))
+        .select("vec_id", sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def _plane_component(p: int, j: int) -> float:
+    """Deterministic pseudo-random ±1 plane components (arithmetic, no RNG)."""
+    return 1.0 if ((p * 31 + j * 17 + (p * j) % 13) % 2) == 0 else -1.0
+
+
+def lsh_signature_col(vec_col: Column, dim: int, n_planes: int) -> Column:
+    """Sign-of-projection bits packed into a long, all column algebra."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(_plane_component(p, j)) for j in range(dim)])
+        bit = F.when(dot(vec_col.cast("array<double>"), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        sig = sig + F.shiftleft(bit.cast("long"), p)
+    return sig
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: exact scoring restricted to the query's
+    bucket. At scale the signature is a bucketed storage key; here it
+    demonstrates the bucket-join shape."""
+    dim = len(query_vec)
+    qsig = 0
+    for p in range(n_planes):
+        d = sum(_plane_component(p, j) * float(query_vec[j]) for j in range(dim))
+        qsig |= (1 if d >= 0 else 0) << p
+    qn = math.sqrt(sum(float(x) ** 2 for x in query_vec))
+    sim = dot(F.col(vec_col).cast("array<double>"), _lit_vec(query_vec)) / (
+        norm(F.col(vec_col)) * F.lit(qn)
+    )
+    return (
+        embeddings.withColumn(
+            "__sig", lsh_signature_col(F.col(vec_col), dim, n_planes)
+        )
+        .where(F.col("__sig") == qsig)
+        .select(F.col(id_col).alias("vec_id"), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ τ) within blocks.
+
+    The block key (here a label/cluster column) turns the quadratic
+    all-pairs problem into per-block self-joins — the same shape LSH/IVF
+    buckets give at scale. Returns (id_a, id_b, cosine), id_a < id_b.
+    """
+    a = embeddings.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = embeddings.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    sim = dot(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")) / (
+        norm(F.col("va")) * norm(F.col("vb"))
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

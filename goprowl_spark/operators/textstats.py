@@ -1,0 +1,180 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting.
+
+All four are pure Column algebra (regex + arithmetic, codegen'd JVM-side),
+and each has an exact DuckDB SQL twin below so the driver's oracle can
+verify values, not just shapes. At 100 TB these run as map-only stages —
+no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets (n-gram heuristic). Deliberately
+# small + deterministic; the operator's value is the *plan shape* (map-only,
+# no UDF) — swap in fastText/CLD3 via a pandas UDF where accuracy matters.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "de", "por"],
+}
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _padded(col: Column) -> Column:
+    return F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+
+
+def _marker_hits(col: Column, words: list[str]) -> Column:
+    """Total occurrences of padded marker words (word-boundary-ish)."""
+    padded = _padded(F.regexp_replace(col, r"\s+", " "))
+    total = F.lit(0)
+    for w in words:
+        # occurrences = (len(s) - len(replace(s, w, ''))) / len(w)
+        needle = f" {w} "
+        total = total + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+            / len(needle)
+        ).cast("int")
+    return total
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, predicted_lang, marker_hits) — argmax of marker-word hits,
+    deterministic tie-break by language code; 'und' when nothing hits."""
+    best = F.struct(F.lit(-1).alias("hits"), F.lit("zzz").alias("lang"))
+    for lang in sorted(LANG_MARKERS):
+        hits = _marker_hits(F.col(text_col), LANG_MARKERS[lang])
+        entry = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+        best = F.when(
+            (entry["hits"] > best["hits"]), entry
+        ).otherwise(best)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("predicted_lang"),
+        F.greatest(best["hits"], F.lit(0)).alias("marker_hits"),
+    )
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, ws_tokens, bpe_tokens, n_chars) — whitespace and BPE-ish regex
+    token counts (both `regexp_count`, pure codegen)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(t, F.lit(r"\S+")).cast("long").alias("ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_RE)).cast("long").alias("bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+def quality_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, alpha_ratio, punct_ratio, stopword_ratio, quality) — the classic
+    cheap quality heuristics (length/punct/stopword ratios), rounded to 6
+    decimals so Spark and the DuckDB oracle hash identically."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t), F.lit(1)).cast("double")
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / n
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")) / n
+    ws_tokens = F.greatest(F.regexp_count(t, F.lit(r"\S+")), F.lit(1)).cast("double")
+    stop = _marker_hits(t, LANG_MARKERS["en"]) / ws_tokens
+    quality = alpha * 0.5 + stop * 0.3 + (1.0 - punct) * 0.2
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, fingerprint) — md5 of whitespace-normalized lowercase text
+    (F14 content-hash analog; identical digest in DuckDB)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.md5(norm).alias("fingerprint")
+    )
+
+
+# ------------------------------------------------------------ sql twins
+
+def _marker_hits_sql(col: str, words: list[str]) -> str:
+    padded = f"(' ' || regexp_replace(lower({col}), '\\s+', ' ', 'g') || ' ')"
+    parts = [
+        f"CAST((length({padded}) - length(replace({padded}, ' {w} ', ''))) / {len(w) + 2} AS INT)"
+        for w in words
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def lang_id_sql(table: str, id_col: str, text_col: str) -> str:
+    langs = sorted(LANG_MARKERS)
+    hit_exprs = {
+        lang: _marker_hits_sql(text_col, LANG_MARKERS[lang]) for lang in langs
+    }
+    # fold the same when-chain as the Spark side (> beats, first wins ties)
+    best_hits = "-1"
+    best_lang = "'zzz'"
+    for lang in langs:
+        h = f"h_{lang}"
+        best_lang = f"(CASE WHEN {h} > {best_hits} THEN '{lang}' ELSE {best_lang} END)"
+        best_hits = f"(CASE WHEN {h} > {best_hits} THEN {h} ELSE {best_hits} END)"
+    hits_cols = ", ".join(f"{hit_exprs[l]} AS h_{l}" for l in langs)
+    return f"""
+WITH h AS (SELECT {id_col} AS doc_id, {hits_cols} FROM {table})
+SELECT doc_id,
+       CASE WHEN {best_hits} > 0 THEN {best_lang} ELSE 'und' END AS predicted_lang,
+       greatest({best_hits}, 0) AS marker_hits
+FROM h
+ORDER BY doc_id
+"""
+
+
+def token_counts_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+SELECT {id_col} AS doc_id,
+       len(regexp_extract_all({text_col}, '\\S+')) AS ws_tokens,
+       len(regexp_extract_all({text_col}, '{BPE_RE}')) AS bpe_tokens,
+       length({text_col}) AS n_chars
+FROM {table}
+ORDER BY doc_id
+"""
+
+
+def quality_scores_sql(table: str, id_col: str, text_col: str) -> str:
+    t = text_col
+    n = f"greatest(length({t}), 1) * 1.0"
+    alpha = f"(length(regexp_replace({t}, '[^A-Za-z]', '', 'g')) / {n})"
+    punct = f"(length(regexp_replace({t}, '[^.,;:!?]', '', 'g')) / {n})"
+    ws = f"greatest(len(regexp_extract_all({t}, '\\S+')), 1) * 1.0"
+    stop = f"({_marker_hits_sql(t, LANG_MARKERS['en'])} / {ws})"
+    quality = f"({alpha} * 0.5 + {stop} * 0.3 + (1.0 - {punct}) * 0.2)"
+    return f"""
+SELECT {id_col} AS doc_id,
+       round({alpha}, 6) AS alpha_ratio,
+       round({punct}, 6) AS punct_ratio,
+       round({stop}, 6) AS stopword_ratio,
+       round({quality}, 6) AS quality
+FROM {table}
+ORDER BY doc_id
+"""
+
+
+def fingerprints_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+SELECT {id_col} AS doc_id,
+       md5(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))) AS fingerprint
+FROM {table}
+ORDER BY doc_id
+"""

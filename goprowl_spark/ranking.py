@@ -1,0 +1,227 @@
+"""Inverted-index postings + TF-IDF / BM25 ranking (SURVEY.md §2.4/§2.8).
+
+Reference: the in-memory InvertedIndex (search/engine/indexer/indexer.go:
+10-18) — ``map[term]map[docID]tf`` + doc lengths — becomes two DataFrames
+(postings, doc_stats) built with explode + groupBy: partial (map-side)
+aggregation makes this a single shuffle at any scale.
+
+Scorers are closed-form Column algebra over the postings join — no UDFs:
+
+* :func:`tfidf_scores` is bug-compatible with indexer.Search
+  (indexer.go:59-83): tokenized query terms keep their multiplicity,
+  tf is length-normalized, and IDF uses the reference's *integer division*
+  ``1.0 + totalDocs/docsWithTerm`` (indexer.go:98-100 — e.g. N=10, df=3
+  → 1+3=4.0, not 1+3.33);
+* :func:`bm25_scores` implements Ranker.Score (search/engine/ranking/
+  ranker.go:14-41): idf = ln(1+(N-df+0.5)/(df+0.5)), k1=1.2, b=0.75,
+  with the boost product applied as a plain multiply (BoostScore,
+  ranker.go:35-41).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+K1 = 1.2  # ranker.go:16
+B = 0.75  # ranker.go:17
+
+
+def tokenize(text: str) -> list[str]:
+    """Reference tokenizer (indexer.go:93-96): lowercase + whitespace split."""
+    return text.lower().split()
+
+
+def tokens_col(col):
+    """The same tokenizer as a Column expression (F3: split+lower)."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def build_postings(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "content"
+) -> DataFrame:
+    """term → (doc, tf) postings (A3; IndexDocument indexer.go:30-57)."""
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def build_doc_stats(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "content"
+) -> DataFrame:
+    """doc → token count (A4; indexer.go:39-46)."""
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("doc_len"),
+    )
+
+
+def _query_terms_df(spark: SparkSession, query: str) -> DataFrame:
+    """Query tokens with multiplicity (the reference loops raw tokens, so a
+    repeated term scores twice — indexer.go:66)."""
+    toks = tokenize(query)
+    counts: dict[str, int] = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    return spark.createDataFrame(
+        [(t, n) for t, n in counts.items()], "term string, mult long"
+    )
+
+
+def tfidf_scores(
+    spark: SparkSession,
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    total_docs: int,
+    query: str,
+) -> DataFrame:
+    """indexer.Search (indexer.go:59-83), distributed:
+
+    score(d) = Σ_t mult(t) · (tf(t,d)/len(d)) · (1.0 + N intdiv df(t))
+
+    The tiny query-term side broadcasts (J4); doc_stats joins on doc_id
+    (J5). Result: (doc_id, score) sorted desc with deterministic tie-break.
+    """
+    terms = _query_terms_df(spark, query)
+    df_per_term = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = 1.0 + F.floor(F.lit(float(total_docs)) / F.col("df"))
+    scored = (
+        postings.join(F.broadcast(terms), "term")
+        .join(F.broadcast(df_per_term.join(terms, "term").select("term", "df")), "term")
+        .join(doc_stats, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("mult")
+                * (F.col("tf").cast("double") / F.col("doc_len"))
+                * idf
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+
+def bm25_scores(
+    spark: SparkSession,
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    total_docs: int,
+    query: str,
+    boost: float = 1.0,
+) -> DataFrame:
+    """Ranker.Score summed over query terms (ranker.go:22-41)."""
+    terms = _query_terms_df(spark, query)
+    df_per_term = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    avgdl = doc_stats.agg(F.avg("doc_len")).collect()[0][0] or 0.0
+    n = F.lit(float(total_docs))
+    idf = F.log(1 + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf = F.col("tf").cast("double")
+    denom = tf + K1 * (1 - B + B * F.col("doc_len") / F.lit(float(avgdl)))
+    scored = (
+        postings.join(F.broadcast(terms), "term")
+        .join(F.broadcast(df_per_term.join(terms, "term").select("term", "df")), "term")
+        .join(doc_stats, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("mult") * idf * (tf * (K1 + 1)) / denom).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg((F.sum("term_score") * F.lit(boost)).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+
+# ------------------------------------------------------------ sql oracles
+
+def postings_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+SELECT term, doc_id, count(*) AS tf
+FROM (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_split_to_array(lower({text_col}), '\\s+')) AS term
+  FROM {table}
+)
+WHERE term <> ''
+GROUP BY term, doc_id
+"""
+
+
+def tfidf_oracle_sql(
+    table: str, id_col: str, text_col: str, query: str, round_to: int = 4
+) -> str:
+    toks = tokenize(query)
+    counts: dict[str, int] = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    terms_values = ", ".join(
+        f"('{t}', {n})" for t, n in counts.items()
+    )
+    return f"""
+WITH postings AS ({postings_sql(table, id_col, text_col)}),
+doc_stats AS (
+  SELECT {id_col} AS doc_id,
+         len(list_filter(regexp_split_to_array(lower({text_col}), '\\s+'),
+                         t -> t <> '')) AS doc_len
+  FROM {table}
+),
+qterms(term, mult) AS (VALUES {terms_values}),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term),
+total AS (SELECT count(*) AS n FROM {table})
+SELECT p.doc_id,
+       round(sum(q.mult * (p.tf * 1.0 / s.doc_len)
+                 * (1.0 + floor(t.n * 1.0 / d.df))), {round_to}) AS score
+FROM postings p
+JOIN qterms q USING (term)
+JOIN dfs d USING (term)
+JOIN doc_stats s USING (doc_id)
+CROSS JOIN total t
+GROUP BY p.doc_id
+ORDER BY score DESC, doc_id ASC
+"""
+
+
+def bm25_oracle_sql(
+    table: str, id_col: str, text_col: str, query: str, round_to: int = 4
+) -> str:
+    toks = tokenize(query)
+    counts: dict[str, int] = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    terms_values = ", ".join(f"('{t}', {n})" for t, n in counts.items())
+    return f"""
+WITH postings AS ({postings_sql(table, id_col, text_col)}),
+doc_stats AS (
+  SELECT {id_col} AS doc_id,
+         len(list_filter(regexp_split_to_array(lower({text_col}), '\\s+'),
+                         t -> t <> '')) AS doc_len
+  FROM {table}
+),
+qterms(term, mult) AS (VALUES {terms_values}),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term),
+total AS (SELECT count(*) AS n FROM {table}),
+avg_len AS (SELECT avg(doc_len) AS avgdl FROM doc_stats)
+SELECT p.doc_id,
+       round(sum(q.mult * ln(1 + (t.n - d.df + 0.5) / (d.df + 0.5))
+                 * (p.tf * ({K1} + 1))
+                 / (p.tf + {K1} * (1 - {B} + {B} * s.doc_len / a.avgdl))),
+             {round_to}) AS score
+FROM postings p
+JOIN qterms q USING (term)
+JOIN dfs d USING (term)
+JOIN doc_stats s USING (doc_id)
+CROSS JOIN total t
+CROSS JOIN avg_len a
+GROUP BY p.doc_id
+ORDER BY score DESC, doc_id ASC
+"""

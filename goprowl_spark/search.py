@@ -1,0 +1,239 @@
+"""Search: query parsing + Catalyst Column compilation (SURVEY.md §2.9/§3.2).
+
+The reference parses whitespace-split token streams into QueryTerm lists
+(search/engine/query.go:31-120) and brute-force scores every stored doc
+(basic_search.go:22-102, calculateRelevancy :242-289). Here the same
+QueryTerm IR compiles to a single Catalyst Column expression — one scan,
+whole-stage codegen, no UDF — plus an equivalent ANSI-SQL expression
+generator used by the DuckDB correctness oracle.
+
+Bug-compatible quirks preserved (each pinned by tests):
+* AND/NOT set Required/Excluded flags that scoring never consults
+  (query.go:40-59; no consumer in basic_search.go) — replicated by default,
+  enforced when ``strict=True``;
+* phrase parsing strips the closing quote only from *appended* tokens, so a
+  single-token phrase keeps its trailing quote (query.go:63-77);
+* phrase and fuzzy matching are case-SENSITIVE contains; simple/field terms
+  are case-insensitive (basic_search.go:242-289);
+* fuzziness parses the first byte after '~' as a digit (query.go:80-92) but
+  matching ignores it (plain contains);
+* scoring weights: phrase 3/2, fuzzy 2/1, title 2, content 1; unknown
+  field → 0;
+* facets count doc types over ALL docs, not the filtered hits
+  (basic_search.go:79-92);
+* the reference's unstable score sort (basic_search.go:54-56) is replaced
+  by a deterministic (score desc, id asc) order — documented improvement.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SIMPLE, PHRASE, FUZZY, BOOLEAN = 0, 1, 2, 3
+
+
+@dataclass
+class QueryTerm:
+    text: str
+    field: str = ""
+    type: int = SIMPLE
+    fuzziness: int = 0
+    required: bool = False
+    excluded: bool = False
+
+
+def parse_query(query_str: str) -> list[QueryTerm]:
+    """Token-level port of QueryProcessor.ParseQuery (query.go:31-120)."""
+    tokens = query_str.split()
+    out: list[QueryTerm] = []
+    i = 0
+    while i < len(tokens):
+        tok = tokens[i]
+        upper = tok.upper()
+        if upper == "AND":
+            if i + 1 < len(tokens):
+                i += 1
+                out.append(QueryTerm(text=tokens[i], required=True))
+            i += 1
+            continue
+        if upper == "NOT":
+            if i + 1 < len(tokens):
+                i += 1
+                out.append(QueryTerm(text=tokens[i], excluded=True))
+            i += 1
+            continue
+        if tok.startswith('"'):
+            phrase = [tok[1:]]
+            i += 1
+            while i < len(tokens):
+                phrase.append(tokens[i])
+                if tokens[i].endswith('"'):
+                    phrase[-1] = phrase[-1][:-1]
+                    i += 1
+                    break
+                i += 1
+            out.append(QueryTerm(text=" ".join(phrase), type=PHRASE))
+            continue
+        if "~" in tok:
+            parts = tok.split("~")
+            fuzz = 1
+            if len(parts) > 1 and parts[1] != "":
+                fuzz = ord(parts[1][0]) - ord("0")
+            out.append(QueryTerm(text=parts[0], type=FUZZY, fuzziness=fuzz))
+            i += 1
+            continue
+        if ":" in tok:
+            parts = tok.split(":")
+            out.append(QueryTerm(text=parts[1], field=parts[0]))
+            i += 1
+            continue
+        out.append(QueryTerm(text=tok))
+        i += 1
+    return out
+
+
+# ------------------------------------------------------------ spark compile
+
+def term_score_col(term: QueryTerm, title: Column, content: Column) -> Column:
+    """calculateRelevancy for one term (basic_search.go:242-289)."""
+    def hit(col: Column, needle: str, w: float, ci: bool) -> Column:
+        c = F.lower(col) if ci else col
+        n = needle.lower() if ci else needle
+        return F.when(c.contains(F.lit(n)), F.lit(w)).otherwise(F.lit(0.0))
+
+    if term.type == PHRASE:
+        return hit(title, term.text, 3.0, False) + hit(content, term.text, 2.0, False)
+    if term.type == FUZZY:
+        return hit(title, term.text, 2.0, False) + hit(content, term.text, 1.0, False)
+    if term.field == "title":
+        return hit(title, term.text, 2.0, True)
+    if term.field == "content":
+        return hit(content, term.text, 1.0, True)
+    if term.field:
+        return F.lit(0.0)
+    return hit(title, term.text, 2.0, True) + hit(content, term.text, 1.0, True)
+
+
+def term_match_col(term: QueryTerm, title: Column, content: Column) -> Column:
+    """Whether the term matches at all (strict AND/NOT enforcement)."""
+    return term_score_col(term, title, content) > 0
+
+
+def compile_score(
+    terms: list[QueryTerm], title: Column, content: Column
+) -> Column:
+    score = F.lit(0.0)
+    for t in terms:
+        score = score + term_score_col(t, title, content)
+    return score
+
+
+def search(
+    documents: DataFrame,
+    query_str: str,
+    filters: dict[str, str] | None = None,
+    page: int = 1,
+    size: int = 10,
+    strict: bool = False,
+    id_col: str = "doc_id",
+    title_col: str = "title",
+    content_col: str = "content",
+    type_col: str = "doc_type",
+) -> DataFrame:
+    """The Search pipeline (basic_search.go:22-102): score → filters →
+    score>0 → deterministic sort → offset/limit pagination.
+
+    Pagination uses a rank window bounded between (start, end] — equivalent
+    to the reference's slice [start:end] (basic_search.go:58-76) but
+    expressed so Catalyst can push the whole thing into one TakeOrdered-
+    style plan. Returns (id, score) plus pass-through columns.
+    """
+    terms = parse_query(query_str)
+    title, content = F.col(title_col), F.col(content_col)
+    score = compile_score(terms, title, content)
+    df = documents.withColumn("score", score)
+    for k, v in (filters or {}).items():
+        if k == "type":  # only `type` implemented (basic_search.go:291-302)
+            df = df.where(F.col(type_col) == F.lit(v))
+    if strict:
+        for t in terms:
+            m = term_match_col(t, title, content)
+            if t.required:
+                df = df.where(m)
+            elif t.excluded:
+                df = df.where(~m)
+    df = df.where(F.col("score") > 0)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    start, end = (page - 1) * size, page * size
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .where((F.col("__rank") > start) & (F.col("__rank") <= end))
+        .drop("__rank")
+    )
+
+
+def facets(documents: DataFrame, type_col: str = "doc_type") -> DataFrame:
+    """Facet counts by type over all docs (A1, basic_search.go:79-92)."""
+    return documents.groupBy(F.col(type_col).alias("value")).agg(
+        F.count("*").alias("count")
+    )
+
+
+# ------------------------------------------------------------ sql compile
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def term_score_sql(term: QueryTerm, title: str, content: str) -> str:
+    def hit(col: str, needle: str, w: float, ci: bool) -> str:
+        c = f"lower({col})" if ci else col
+        n = needle.lower() if ci else needle
+        return f"(CASE WHEN contains({c}, {_sql_quote(n)}) THEN {w} ELSE 0.0 END)"
+
+    if term.type == PHRASE:
+        return f"({hit(title, term.text, 3.0, False)} + {hit(content, term.text, 2.0, False)})"
+    if term.type == FUZZY:
+        return f"({hit(title, term.text, 2.0, False)} + {hit(content, term.text, 1.0, False)})"
+    if term.field == "title":
+        return hit(title, term.text, 2.0, True)
+    if term.field == "content":
+        return hit(content, term.text, 1.0, True)
+    if term.field:
+        return "0.0"
+    return f"({hit(title, term.text, 2.0, True)} + {hit(content, term.text, 1.0, True)})"
+
+
+def compile_score_sql(terms: list[QueryTerm], title: str, content: str) -> str:
+    if not terms:
+        return "0.0"
+    return " + ".join(term_score_sql(t, title, content) for t in terms)
+
+
+def search_oracle_sql(
+    query_str: str,
+    table: str,
+    id_col: str,
+    title_expr: str,
+    content_expr: str,
+    page: int = 1,
+    size: int = 10,
+) -> str:
+    """ANSI SQL (DuckDB) equivalent of :func:`search` — same QueryTerm IR,
+    same weights, same deterministic order, same pagination window."""
+    terms = parse_query(query_str)
+    score = compile_score_sql(terms, title_expr, content_expr)
+    start = (page - 1) * size
+    return f"""
+WITH scored AS (
+  SELECT {id_col} AS doc_id, {score} AS score
+  FROM {table}
+)
+SELECT doc_id, score FROM scored
+WHERE score > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {size} OFFSET {start}
+"""

@@ -1,0 +1,139 @@
+"""Trace-equality tests: the distributed Spark crawl must reproduce the
+sequential reference-semantics oracle exactly — per-round popped sets, final
+seen set with first-enqueue depths, and per-document span sequences
+(BASELINE.json north_rule / input_hint)."""
+
+import pytest
+
+from goprowl_spark import corpus
+from goprowl_spark.crawl import CrawlConfig, CrawlEngine
+from tests.oracle.crawler import crawl_oracle
+
+N = 300
+
+
+def make_engine(spark, tmp_path, cfg, robots=None, budget_rows=None):
+    robots_df = None
+    if robots is not None:
+        robots_df = spark.createDataFrame(
+            [(h, ps, 0) for h, ps in robots.items()],
+            "host string, disallow_prefixes array<string>, crawl_delay_ms int",
+        )
+    budget_df = None
+    if budget_rows is not None:
+        budget_df = spark.createDataFrame(
+            [(h, b, 0) for h, b in budget_rows.items()],
+            "host string, max_fetches_per_round int, delay_ms int",
+        )
+    return CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, N),
+        str(tmp_path / "cat"),
+        cfg,
+        robots_rules=robots_df,
+        host_budget=budget_df,
+    )
+
+
+def assert_trace_equal(engine: CrawlEngine, oracle_result):
+    o_rounds, o_seen, o_docs = oracle_result
+    seen = {
+        r["url"]: (r["depth"], r["first_seen_round"])
+        for r in engine.seen().collect()
+    }
+    assert seen == o_seen
+    docs = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in engine.documents().collect()
+    }
+    assert docs == o_docs
+    # crawl ordering: documents fetched per round == oracle pop rounds
+    # (only 200-status pages produce documents)
+    got_rounds: dict[int, list[str]] = {}
+    for r in engine.documents().select("doc_id", "fetched_round").collect():
+        got_rounds.setdefault(r["fetched_round"], []).append(r["doc_id"])
+    for rnd, urls in got_rounds.items():
+        expected = [
+            u
+            for u in o_rounds[rnd - 1]
+            if u in o_docs and o_docs[u] is not None
+        ]
+        assert sorted(urls) == sorted(expected), f"round {rnd}"
+
+
+def test_plain_bfs_matches_oracle(spark, tmp_path):
+    seeds = [corpus.url(0)]
+    cfg = CrawlConfig(seeds=seeds, max_depth=4, use_bloom=True)
+    engine = make_engine(spark, tmp_path, cfg)
+    engine.run()
+    assert_trace_equal(engine, crawl_oracle(N, seeds, 4))
+
+
+def test_budget_constrained_crawl_matches_oracle(spark, tmp_path):
+    seeds = [corpus.url(0), corpus.url(5)]
+    budgets = {"h0.test": 2, "h3.test": 1}
+    cfg = CrawlConfig(seeds=seeds, max_depth=3, default_budget=3)
+    engine = make_engine(spark, tmp_path, cfg, budget_rows=budgets)
+    engine.run(max_rounds=8)
+    oracle = crawl_oracle(
+        N, seeds, 3, host_budget=budgets, default_budget=3, max_rounds=8
+    )
+    assert_trace_equal(engine, oracle)
+
+
+def test_allowed_hosts_restricts_to_seed_host(spark, tmp_path):
+    # reference P1: AllowedDomains = seed host (colly.go:174)
+    seeds = [corpus.url(0)]  # host h0.test
+    cfg = CrawlConfig(seeds=seeds, max_depth=5, allowed_hosts=["h0.test"])
+    engine = make_engine(spark, tmp_path, cfg)
+    engine.run()
+    oracle = crawl_oracle(N, seeds, 5, allowed_hosts={"h0.test"})
+    assert_trace_equal(engine, oracle)
+    for r in engine.seen().collect():
+        assert "h0.test" in r["url"]
+
+
+def test_robots_rules_enforced(spark, tmp_path):
+    seeds = [corpus.url(0)]
+    robots = {"h0.test": ["/p/1"], "h4.test": ["/"]}
+    cfg = CrawlConfig(seeds=seeds, max_depth=4)
+    engine = make_engine(spark, tmp_path, cfg, robots=robots)
+    engine.run()
+    oracle = crawl_oracle(N, seeds, 4, robots=robots)
+    assert_trace_equal(engine, oracle)
+
+
+def test_resume_from_snapshot_is_exact(spark, tmp_path):
+    """north_rule: the crawl resumes exactly from any checkpoint snapshot."""
+    seeds = [corpus.url(0)]
+    cfg = CrawlConfig(seeds=seeds, max_depth=4)
+
+    full = make_engine(spark, tmp_path / "full", cfg)
+    full.run()
+
+    part = make_engine(spark, tmp_path / "part", cfg)
+    part.run(max_rounds=2)
+    # new engine instance over the same workdir picks up at round 2
+    resumed = make_engine(spark, tmp_path / "part", cfg)
+    assert resumed.current_round() == 2
+    resumed.run()
+
+    for table in ("seen", "documents", "frontier"):
+        a = sorted(getattr(full, table)().toJSON().collect())
+        b = sorted(getattr(resumed, table)().toJSON().collect())
+        assert a == b, table
+
+
+def test_metrics_lineage_per_round(spark, tmp_path):
+    seeds = [corpus.url(0)]
+    cfg = CrawlConfig(seeds=seeds, max_depth=3)
+    engine = make_engine(spark, tmp_path, cfg)
+    engine.run()
+    rows = {r["round"]: r for r in engine.metrics().collect()}
+    assert set(rows) == set(range(1, engine.current_round() + 1))
+    m1 = rows[1]
+    assert m1["frontier_size"] == 1 and m1["popped"] == 1
+    # dedup_rate sane, seen cardinality monotone
+    cards = [rows[r]["seen_cardinality"] for r in sorted(rows)]
+    assert cards == sorted(cards)
+    assert all(0.0 <= rows[r]["dedup_rate"] <= 1.0 for r in rows)

@@ -1,0 +1,105 @@
+"""Dedup operators: exact, n-gram Jaccard (vs a direct Python computation),
+MinHash-LSH (no false positives, measured recall), SimHash blocking
+(pigeonhole completeness within the Hamming ball)."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from goprowl_spark.operators import dedup as D
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog"),          # near dup
+    (4, "completely different text about spark pipelines here"),
+    (5, "the quick brown fox jumps over a lazy dog today"),      # near dup
+    (6, "completely different text about flink pipelines here"),  # near of 4
+    (7, "one two three four five six seven"),
+    (8, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),          # case dup of 1
+]
+
+
+def py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def py_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = py_shingles(a, n), py_shingles(b, n)
+    if not sa and not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs_df):
+    rows = D.exact_dedup(docs_df).collect()
+    keep = {r["keep_id"]: r["dup_count"] for r in rows}
+    assert keep[1] == 2  # docs 1,2 identical; 8 differs by case
+    assert 2 not in keep
+    assert sum(keep.values()) == len(DOCS)
+
+
+def test_jaccard_pairs_match_python(spark, docs_df):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs_df, threshold=0.2).collect()
+    }
+    exp = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        j = py_jaccard(ta, tb)
+        if j >= 0.2:
+            exp[(min(ia, ib), max(ia, ib))] = j
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k])
+    # case-normalized: 1 vs 8 are identical after lower() → jaccard 1.0
+    assert got[(1, 8)] == 1.0
+
+
+def test_minhash_lsh_no_false_positives_and_sane_recall(spark, docs_df):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(docs_df, threshold=0.3).collect()
+    }
+    exact = {
+        (min(a, b), max(a, b)): py_jaccard(ta, tb)
+        for (a, ta), (b, tb) in itertools.combinations(DOCS, 2)
+        if py_jaccard(ta, tb) >= 0.3
+    }
+    # verification step guarantees: no pair below threshold
+    for k, j in got.items():
+        assert j >= 0.3
+        assert k in exact
+        assert j == pytest.approx(exact[k])
+    # high-similarity pairs must be recalled (identical docs always collide)
+    assert (1, 2) in got and (1, 8) in got and (2, 8) in got
+
+
+def test_simhash_identical_docs_equal_hash(spark, docs_df):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash_df(docs_df).collect()}
+    assert sh[1] == sh[2] == sh[8]
+    assert sh[1] != sh[4]
+
+
+def test_simhash_pairs_blocking_complete(spark, docs_df):
+    """Blocked join must find ALL pairs within the Hamming ball (pigeonhole:
+    ≤3 differing bits across 4 blocks → one block equal)."""
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash_df(docs_df).collect()}
+    max_h = 6  # blocks guarantee completeness only ≤3, test with 3
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_pairs(docs_df, max_hamming=3).collect()
+    }
+    for (a, b) in itertools.combinations(sorted(sh), 2):
+        h = bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+        if h <= 3:
+            assert (a, b) in got and got[(a, b)] == h
+    for (a, b), h in got.items():
+        assert h <= 3

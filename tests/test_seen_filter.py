@@ -1,0 +1,66 @@
+"""Partitioned Bloom seen-filter: zero false negatives (no URL ever dropped
+that wasn't truly seen), sane false-positive rate, and equivalence of the
+Bloom-pruned path with the plain exact anti-join."""
+
+from pyspark.sql import functions as F
+
+from goprowl_spark import seen_filter
+
+
+def _urls(spark, lo, hi, prefix="https://h1.test/p/"):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("url"),
+        F.xxhash64(F.concat(F.lit(prefix), F.col("id").cast("string"))).alias(
+            "url_hash"
+        ),
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    seen = _urls(spark, 0, 5000)
+    empty = spark.createDataFrame([], seen_filter.schemas.SEEN_BLOOM)
+    blooms = seen_filter.update_blooms(empty, seen, bits_per_bucket=1 << 14)
+    probed = seen_filter.probe_blooms(seen, blooms, bits_per_bucket=1 << 14)
+    # every truly-seen url must probe maybe_seen=True
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_bloom_fpr_reasonable(spark):
+    seen = _urls(spark, 0, 5000)
+    empty = spark.createDataFrame([], seen_filter.schemas.SEEN_BLOOM)
+    blooms = seen_filter.update_blooms(empty, seen, bits_per_bucket=1 << 17)
+    unseen = _urls(spark, 10_000, 20_000)
+    probed = seen_filter.probe_blooms(unseen, blooms, bits_per_bucket=1 << 17)
+    fp = probed.where(F.col("maybe_seen")).count()
+    assert fp / 10_000 < 0.05  # ~78 hashes/bucket in 128Kib bits → tiny fpr
+
+
+def test_incremental_update_preserves_members(spark):
+    a = _urls(spark, 0, 1000)
+    b = _urls(spark, 1000, 2000)
+    empty = spark.createDataFrame([], seen_filter.schemas.SEEN_BLOOM)
+    blooms = seen_filter.update_blooms(empty, a, bits_per_bucket=1 << 14)
+    blooms = seen_filter.update_blooms(blooms, b, bits_per_bucket=1 << 14)
+    both = a.unionByName(b)
+    probed = seen_filter.probe_blooms(both, blooms, bits_per_bucket=1 << 14)
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+    assert blooms.agg(F.sum("n_items")).collect()[0][0] == 2000
+
+
+def test_filter_unseen_equals_exact_antijoin(spark):
+    seen_urls = _urls(spark, 0, 3000)
+    seen = seen_urls.select(
+        "url_hash", "url", F.lit(1).alias("depth"), F.lit(0).alias("first_seen_round")
+    )
+    empty = spark.createDataFrame([], seen_filter.schemas.SEEN_BLOOM)
+    blooms = seen_filter.update_blooms(empty, seen_urls)
+    candidates = _urls(spark, 2000, 6000)
+
+    with_bloom = {
+        r["url"] for r in seen_filter.filter_unseen(candidates, seen, blooms).collect()
+    }
+    exact = {
+        r["url"] for r in seen_filter.filter_unseen(candidates, seen, None).collect()
+    }
+    assert with_bloom == exact
+    assert len(exact) == 3000  # 3000..5999
