@@ -29,9 +29,10 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     eng = CrawlEngine(
         spark,
-        corpus.corpus_df(spark, n),
+        None,
         tempfile.mkdtemp(prefix="goprowl_entry_"),
         CrawlConfig(seeds=[corpus.url(0)], max_depth=4),
+        fetcher=corpus.make_fetcher(n),
     )
     eng.run()
     return gsearch.search(eng.documents(), "title:page alpha", size=20)

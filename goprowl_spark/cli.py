@@ -1,0 +1,117 @@
+"""spark-submit entry point — the reference's CLI surface (SURVEY.md §3).
+
+    spark-submit --py-files goprowl_spark.zip -m goprowl_spark.cli crawl \
+        --seeds https://h0.test/p/0 --max-depth 3 --workdir /tmp/crawl
+
+Subcommands mirror cmd/crawl.go, cmd/search.go, cmd/list.go:
+
+    crawl  --seeds URL [URL...] --max-depth N --workdir DIR
+           [--budget N] [--allowed-hosts H1,H2] [--corpus-n N] [--resume]
+    search --workdir DIR --query 'title:spark AND python' [--page P --size S]
+    list   --workdir DIR [--format table|json|simple]
+
+In the sandbox the fetch stage joins a deterministic synthetic corpus
+(--corpus-n pages); a production deployment swaps in an HTTP mapInPandas
+fetcher and an Iceberg catalog without touching this surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from goprowl_spark import corpus
+from goprowl_spark import search as gsearch
+from goprowl_spark.crawl import CrawlConfig, CrawlEngine
+from goprowl_spark.session import get_spark
+from goprowl_spark.store import DocumentStore
+
+
+def cmd_crawl(args) -> int:
+    spark = get_spark("goprowl-crawl")
+    cfg = CrawlConfig(
+        seeds=args.seeds,
+        max_depth=args.max_depth,
+        allowed_hosts=args.allowed_hosts.split(",") if args.allowed_hosts else None,
+        default_budget=args.budget,
+    )
+    engine = CrawlEngine(
+        spark, corpus.corpus_df(spark, args.corpus_n), args.workdir, cfg
+    )
+    if args.resume and engine.catalog.latest() is not None:
+        print(f"resuming from snapshot {engine.catalog.latest()}", file=sys.stderr)
+    summary = engine.run(max_rounds=args.max_rounds)
+    metrics = [r.asDict() for r in engine.metrics().orderBy("round").collect()]
+    print(json.dumps({"summary": summary, "rounds": metrics}, default=str))
+    return 0
+
+
+def cmd_search(args) -> int:
+    spark = get_spark("goprowl-search")
+    store = DocumentStore(spark, args.workdir)
+    hits = gsearch.search(
+        store.get_all(), args.query, page=args.page, size=args.size
+    ).select("doc_id", "title", "score")
+    total = gsearch.search(store.get_all(), args.query, size=1 << 31).count()
+    facet_rows = gsearch.facets(store.get_all()).collect()
+    out = {
+        "hits": [r.asDict() for r in hits.collect()],
+        "total": total,
+        "facets": {r["value"]: r["count"] for r in facet_rows},
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_list(args) -> int:
+    # display formats per cmd/list.go:98-150 (table/json/simple)
+    spark = get_spark("goprowl-list")
+    store = DocumentStore(spark, args.workdir)
+    docs = store.list().select("doc_id", "title", "doc_type", "fetched_round")
+    if args.format == "json":
+        for row in docs.toJSON().collect():
+            print(row)
+    elif args.format == "simple":
+        for r in docs.collect():
+            print(r["doc_id"])
+    else:
+        docs.show(n=1 << 31, truncate=60)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="goprowl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl")
+    c.add_argument("--seeds", nargs="+", required=True)
+    c.add_argument("--max-depth", type=int, default=3)
+    c.add_argument("--workdir", required=True)
+    c.add_argument("--budget", type=int, default=None)
+    c.add_argument("--allowed-hosts", default=None)
+    c.add_argument("--corpus-n", type=int, default=5000)
+    c.add_argument("--max-rounds", type=int, default=None)
+    c.add_argument("--resume", action="store_true")
+    c.set_defaults(fn=cmd_crawl)
+
+    s = sub.add_parser("search")
+    s.add_argument("--workdir", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--page", type=int, default=1)
+    s.add_argument("--size", type=int, default=10)
+    s.set_defaults(fn=cmd_search)
+
+    l = sub.add_parser("list")
+    l.add_argument("--workdir", required=True)
+    l.add_argument("--format", choices=["table", "json", "simple"], default="table")
+    l.set_defaults(fn=cmd_list)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

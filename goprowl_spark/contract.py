@@ -24,7 +24,7 @@ from goprowl_spark import corpus, ranking
 from goprowl_spark import search as gsearch
 from goprowl_spark import streaming
 from goprowl_spark.crawl import CrawlConfig, CrawlEngine
-from goprowl_spark.operators import dedup, multimodal, similarity, textstats
+from goprowl_spark.operators import dedup, multimodal, sessions, similarity, textstats
 from goprowl_spark.parse import parse_spans_udf
 
 CORPUS_MULT = 10
@@ -67,9 +67,10 @@ def q_crawl_bfs_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _docs(spark, sf_dir).count() * CORPUS_MULT
     eng = CrawlEngine(
         spark,
-        corpus.corpus_df(spark, n),
+        None,
         tempfile.mkdtemp(prefix="goprowl_crawl_"),
         CrawlConfig(seeds=[corpus.url(0)], max_depth=BFS_DEPTH),
+        fetcher=corpus.make_fetcher(n),
     )
     eng.run()
     return (
@@ -87,9 +88,10 @@ def q_crawl_budget_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _docs(spark, sf_dir).count() * CORPUS_MULT
     eng = CrawlEngine(
         spark,
-        corpus.corpus_df(spark, n),
+        None,
         tempfile.mkdtemp(prefix="goprowl_crawl_"),
         CrawlConfig(seeds=[corpus.url(0)], max_depth=4, default_budget=5),
+        fetcher=corpus.make_fetcher(n),
     )
     eng.run(max_rounds=12)
     return (
@@ -227,9 +229,10 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 anti-join shape: customers that placed no orders."""
+    """J1 anti-join shape (the seen-set dedup join): customers with no
+    order above 400k (selective enough to return rows at every sf)."""
     customer = _tbl(spark, sf_dir, "customer")
-    orders = _tbl(spark, sf_dir, "orders")
+    orders = _tbl(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey")
@@ -297,6 +300,12 @@ def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min timeout) — lag/cumsum window
+    algebra, oracle-checked value-for-value."""
+    return sessions.sessionize(_tbl(spark, sf_dir, "events"), gap_minutes=30)
 
 
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,7 +579,9 @@ SELECT o_custkey, o_orderkey, rn FROM (
 """,
     "anti_join": """
 SELECT c_custkey FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000
+)
 ORDER BY c_custkey
 """,
     "broadcast_join_agg": """
@@ -603,6 +614,7 @@ SELECT event_type, count(*) AS n,
        round(max(value), 4) AS max_value
 FROM events GROUP BY event_type ORDER BY event_type
 """,
+    "sessionize": sessions.sessionize_sql("events", gap_minutes=30),
     "stream_windowed_counts": """
 SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
@@ -646,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except": q_set_except,
         "agg_q1": q_agg_q1,
         "metrics_rollup": q_metrics_rollup,
+        "sessionize": q_sessionize,
         "stream_windowed_counts": q_stream_windowed_counts,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

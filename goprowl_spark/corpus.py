@@ -86,8 +86,21 @@ def title(i: int) -> str:
     return f"Page {i} {word(i, 0)} {word(i, 1)} {word(i, 2)}"
 
 
-def body(i: int) -> str:
-    return " ".join(word(i, 3 + k) for k in range(12))
+# body: N_PARAS paragraphs of PARA_WORDS words — keeps synthetic pages in a
+# realistic size band (~1 KB HTML) instead of toy 100-byte pages, so the
+# parse stage carries web-like CPU per URL
+N_PARAS = 3
+PARA_WORDS = 30
+
+
+def paragraph(i: int, k: int) -> str:
+    return " ".join(
+        word(i, 3 + k * PARA_WORDS + j) for j in range(PARA_WORDS)
+    )
+
+
+def paragraphs(i: int) -> list[str]:
+    return [paragraph(i, k) for k in range(N_PARAS)]
 
 
 def media_count(i: int) -> int:
@@ -126,9 +139,10 @@ def html(i: int, n: int) -> str:
     imgs = "".join(
         f'<img src="{media_url(i, k)}"/>' for k in range(media_count(i))
     )
+    paras = "".join(f"<p>{p}</p>" for p in paragraphs(i))
     return (
         f"<html><head><title>{title(i)}</title></head>"
-        f"<body><p>{body(i)}</p>{links}{imgs}</body></html>"
+        f"<body>{paras}{links}{imgs}</body></html>"
     )
 
 
@@ -136,11 +150,13 @@ def expected_spans(i: int, n: int) -> list[tuple[str, str, str, int]]:
     """Ground-truth span sequence (kind, text, media_ref, offset) for page i.
 
     This is the per-row invariant vs the reference (BASELINE.json:input_hint):
-    title span, one text span, link spans (anchor text + canonical target) in
-    document order, then media spans.
+    title span, one text span per paragraph, link spans (anchor text +
+    canonical target) in document order, then media spans.
     """
-    spans = [("title", title(i), "", 0), ("text", body(i), "", 1)]
-    off = 2
+    spans = [("title", title(i), "", 0)]
+    for k, p in enumerate(paragraphs(i)):
+        spans.append(("text", p, "", 1 + k))
+    off = 1 + N_PARAS
     for j in range(degree(i)):
         t = link_target(i, j, n)
         spans.append(("link", f"link {t}", url(t), off))
@@ -190,9 +206,21 @@ def corpus_df(spark: SparkSession, n: int, partitions: int | None = None) -> Dat
     """
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 8)
-    i = F.col("i")
     df = spark.range(0, n, 1, partitions).select(F.col("id").alias("i"))
+    return page_columns(df, F.col("i"), n).select(
+        F.col("page_url").alias("url"),
+        "host",
+        "status",
+        "html",
+        "out_links",
+        "fetch_latency_ms",
+    )
 
+
+def page_columns(df: DataFrame, i: Column, n: int) -> DataFrame:
+    """Attach the page-corpus columns for page index ``i`` (pure Column
+    algebra — shared by the full-table generator and the per-batch
+    fetcher)."""
     deg = 2 + (i % 3)
     js = F.sequence(F.lit(0), (deg - 1).cast("int"))
 
@@ -227,9 +255,24 @@ def corpus_df(spark: SparkSession, n: int, partitions: int | None = None) -> Dat
         F.lit(" "), _c_word(i, F.lit(1)),
         F.lit(" "), _c_word(i, F.lit(2)),
     )
-    body_c = F.array_join(
-        F.transform(F.sequence(F.lit(3), F.lit(14)), lambda k: _c_word(i, k)),
-        " ",
+    paras_c = F.concat(
+        *[
+            F.concat(
+                F.lit("<p>"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(
+                            F.lit(3 + k * PARA_WORDS),
+                            F.lit(3 + k * PARA_WORDS + PARA_WORDS - 1),
+                        ),
+                        lambda w: _c_word(i, w),
+                    ),
+                    " ",
+                ),
+                F.lit("</p>"),
+            )
+            for k in range(N_PARAS)
+        ]
     )
     links_html = F.array_join(
         F.transform(
@@ -256,8 +299,8 @@ def corpus_df(spark: SparkSession, n: int, partitions: int | None = None) -> Dat
         )
     )
     html_c = F.concat(
-        F.lit("<html><head><title>"), title_c, F.lit("</title></head><body><p>"),
-        body_c, F.lit("</p>"), links_html, imgs_html, F.lit("</body></html>"),
+        F.lit("<html><head><title>"), title_c, F.lit("</title></head><body>"),
+        paras_c, links_html, imgs_html, F.lit("</body></html>"),
     )
     status_c = (
         F.when(i % 97 == 33, F.lit(404))
@@ -266,13 +309,66 @@ def corpus_df(spark: SparkSession, n: int, partitions: int | None = None) -> Dat
     ).cast("int")
 
     return df.select(
-        _c_url(i).alias("url"),
+        "*",
+        _c_url(i).alias("page_url"),
         _c_host(i).alias("host"),
         status_c.alias("status"),
         html_c.alias("html"),
         F.transform(js, lambda j: canon_url_of(tgt(j))).alias("out_links"),
         (10 + (i % 50)).cast("int").alias("fetch_latency_ms"),
     )
+
+
+def make_fetcher(n: int):
+    """A per-batch synthetic fetcher: computes page content directly from
+    the URL's page index — work strictly proportional to the fetch batch,
+    like real HTTP (no corpus-table scan or join at all).
+
+    Shaped exactly like a production HTTP fetcher: ``mapInPandas`` over the
+    fetch-batch DataFrame, one Arrow batch at a time (an HTTP deployment
+    replaces the body with a pooled-session GET loop; schema, partitioning
+    and batch shape are identical). Page content comes from the same pure
+    Python functions the trace oracle uses, so fetcher/oracle parity is by
+    construction. URLs that don't round-trip to a valid page index
+    fetch-fail with status 0 (reference OnError path, colly.go:64-71).
+    """
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            statuses, htmls, lats = [], [], []
+            for u in pdf["url"]:
+                i = None
+                head, sep, tail = u.rpartition("/p/")
+                if sep and tail.isdigit():
+                    cand = int(tail)
+                    if 0 <= cand < n and url(cand) == u:
+                        i = cand
+                if i is None:
+                    statuses.append(0)
+                    htmls.append(None)
+                    lats.append(None)
+                else:
+                    statuses.append(status(i))
+                    htmls.append(html(i, n))
+                    lats.append(latency_ms(i))
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "depth": pdf["depth"],
+                    "status": pd.Series(statuses, dtype="int32"),
+                    "html": htmls,
+                    "fetch_latency_ms": pd.array(lats, dtype="Int32"),
+                }
+            )
+
+    def fetch(batch: DataFrame) -> DataFrame:
+        return batch.select("url", "depth").mapInPandas(
+            gen,
+            schema="url string, depth int, status int, html string, fetch_latency_ms int",
+        )
+
+    return fetch
 
 
 # ---------------------------------------------------------------- sql oracle

@@ -31,7 +31,7 @@ from pyspark.storagelevel import StorageLevel
 from goprowl_spark import schemas, seen_filter
 from goprowl_spark.parse import extract_links, with_document_columns
 from goprowl_spark.politeness import apply_robots, pop_batch
-from goprowl_spark.tables import SnapshotCatalog, merge_upsert
+from goprowl_spark.tables import SnapshotCatalog
 
 
 @dataclass
@@ -44,6 +44,10 @@ class CrawlConfig:
     n_buckets: int = seen_filter.DEFAULT_N_BUCKETS
     bits_per_bucket: int = seen_filter.DEFAULT_BITS_PER_BUCKET
     salt: int = 16
+    # fetch batches at or below this many URLs broadcast into the corpus
+    # join (so page payloads never shuffle); larger batches fall back to a
+    # shuffle join — at 10^10 scale use politeness budgets to bound batches
+    broadcast_pop_limit: int = 2_000_000
     extra: dict = field(default_factory=dict)
 
 
@@ -54,18 +58,25 @@ class CrawlEngine:
     def __init__(
         self,
         spark: SparkSession,
-        corpus: DataFrame,
+        corpus: DataFrame | None,
         workdir: str,
         config: CrawlConfig,
         robots_rules: DataFrame | None = None,
         host_budget: DataFrame | None = None,
+        fetcher=None,
     ):
+        """``corpus``: page table the fetch stage joins against (web-archive
+        shape). ``fetcher``: batch→fetched callable (HTTP shape — work
+        proportional to the batch, nothing scanned); wins if both given."""
+        if corpus is None and fetcher is None:
+            raise ValueError("need a corpus table or a fetcher")
         self.spark = spark
         self.corpus = corpus
         self.catalog = SnapshotCatalog(spark, workdir)
         self.config = config
         self.robots_rules = robots_rules
         self.host_budget = host_budget
+        self.fetcher = fetcher
 
     # ------------------------------------------------------------ state
 
@@ -83,6 +94,9 @@ class CrawlEngine:
 
     def metrics(self) -> DataFrame:
         return self._load("crawl_metrics", schemas.CRAWL_METRICS)
+
+    def lineage(self) -> DataFrame:
+        return self._load("partition_lineage", schemas.PARTITION_LINEAGE)
 
     def current_round(self) -> int:
         return int(self.catalog.properties().get("round", 0))
@@ -113,7 +127,14 @@ class CrawlEngine:
             )
         tables["documents"] = self.spark.createDataFrame([], schemas.DOCUMENTS)
         tables["crawl_metrics"] = self.spark.createDataFrame([], schemas.CRAWL_METRICS)
-        return self.catalog.commit(tables, properties={"round": 0})
+        return self.catalog.commit(
+            tables,
+            properties={
+                "round": 0,
+                "seen_count": len(self.config.seeds),
+                "frontier_count": len(self.config.seeds),
+            },
+        )
 
     def run(self, max_rounds: int | None = None) -> dict:
         """Advance rounds until the frontier drains (collector.Wait analog,
@@ -134,11 +155,30 @@ class CrawlEngine:
     # ------------------------------------------------------------ one round
 
     def crawl_round(self) -> bool:
+        import os
+        import sys
+        import time
+
+        timing = os.environ.get("GOPROWL_TIMING") == "1"
+        marks: list[tuple[str, float]] = []
+        t_last = time.time()
+
+        def mark(stage: str) -> None:
+            nonlocal t_last
+            if timing:
+                now = time.time()
+                marks.append((stage, round(now - t_last, 2)))
+                t_last = now
+
         cfg = self.config
-        r = self.current_round() + 1
-        frontier = self.frontier()
-        if frontier.isEmpty():
+        props = self.catalog.properties()
+        r = int(props.get("round", 0)) + 1
+        # frontier size is tracked arithmetically in snapshot properties
+        # (f' = f - popped + enqueued) — no count job, no isEmpty scan
+        n_frontier = int(props.get("frontier_count", 0))
+        if n_frontier == 0:
             return False
+        frontier = self.frontier()
         seen = self.seen()
         blooms = (
             self._load("seen_bloom", schemas.SEEN_BLOOM) if cfg.use_bloom else None
@@ -148,15 +188,41 @@ class CrawlEngine:
         popped = pop_batch(
             frontier, self.host_budget, cfg.default_budget, cfg.salt
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        remaining = frontier.join(popped.select("url"), "url", "left_anti")
+        n_popped = popped.count()
+        mark("pop")
+        remaining = frontier.join(
+            F.broadcast(popped.select("url")), "url", "left_anti"
+        )
 
         # S1: fetch = join against the corpus (production: HTTP inside
-        # mapInPandas over this same batch DataFrame).
-        fetched = popped.select("url", "depth").join(
-            self.corpus.select("url", "status", "html", "fetch_latency_ms"),
-            on="url",
-            how="left",
-        ).withColumn("status", F.coalesce(F.col("status"), F.lit(0)))
+        # mapInPandas over this same batch DataFrame). The fetch batch is
+        # bounded (politeness budgets), the corpus is the whole web: build
+        # the hash table on the batch side so the corpus — HTML payloads
+        # included — is NEVER shuffled. Missing URLs (fetch failures)
+        # come back via a second tiny anti-join instead of a left join,
+        # because a left join could only broadcast its preserved side.
+        batch = popped.select("url", "depth")
+        if self.fetcher is not None:
+            fetched = self.fetcher(batch)
+        else:
+            bcast_ok = n_popped <= cfg.broadcast_pop_limit
+            hit = self.corpus.select(
+                "url", "status", "html", "fetch_latency_ms"
+            ).join(F.broadcast(batch) if bcast_ok else batch, on="url", how="inner")
+            missing = batch.join(
+                F.broadcast(hit.select("url")) if bcast_ok else hit.select("url"),
+                on="url",
+                how="left_anti",
+            ).select(
+                "url",
+                "depth",
+                F.lit(0).alias("status"),
+                F.lit(None).cast("string").alias("html"),
+                F.lit(None).cast("int").alias("fetch_latency_ms"),
+            )
+            fetched = hit.select(
+                "url", "depth", "status", "html", "fetch_latency_ms"
+            ).unionByName(missing)
         fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
 
         # S4/U5: parse successful pages into span sequences.
@@ -204,38 +270,59 @@ class CrawlEngine:
         new_frontier = remaining.unionByName(
             new_entries.select(*schemas.FRONTIER.fieldNames())
         )
-        new_seen = seen.unionByName(
-            new_entries.select(
-                "url_hash", "url", "depth", F.lit(r).alias("first_seen_round")
-            )
+        # `seen` and `documents` grow monotonically — commit them as
+        # fast-appends (delta files) so the round never rewrites the full
+        # history (Iceberg fast-append; the seen-dedup guarantees appended
+        # doc_ids are new, so append ≡ MERGE here).
+        seen_delta = new_entries.select(
+            "url_hash", "url", "depth", F.lit(r).alias("first_seen_round")
         )
-        new_docs = merge_upsert(self.documents(), docs_new, "doc_id")
 
-        # A7-A9/S12: per-round lineage + counters.
+        # A7-A9/S12: per-round lineage + counters (one agg job per persisted
+        # intermediate; running totals carried in snapshot properties).
         counts = fetched.agg(
-            F.count("*").alias("popped"),
             F.sum((F.col("status") == 200).cast("long")).alias("ok"),
             F.sum((F.col("status") != 200).cast("long")).alias("err"),
             F.percentile_approx("fetch_latency_ms", 0.5).alias("p50"),
             F.percentile_approx("fetch_latency_ms", 0.99).alias("p99"),
         ).collect()[0]
-        n_frontier = frontier.count()
-        n_links = links.count()
+        mark("fetch")
+        # one agg over the persisted docs materializes the parse AND yields
+        # the link count (no separate links.count job)
+        n_links = int(
+            docs_new.agg(
+                F.coalesce(
+                    F.sum(
+                        F.size(
+                            F.filter(
+                                F.col("spans"), lambda s: s["kind"] == F.lit("link")
+                            )
+                        )
+                    ),
+                    F.lit(0),
+                )
+            ).collect()[0][0]
+        )
+        mark("parse")
         n_cand = candidates.count()
+        mark("candidates")
         n_new = new_entries.count()
+        mark("dedup")
+        prev_seen = int(props.get("seen_count", 0))
+        n_seen = prev_seen + n_new
         metrics_row = self.spark.createDataFrame(
             [
                 (
                     r,
                     n_frontier,
-                    counts["popped"] or 0,
+                    n_popped,
                     counts["ok"] or 0,
                     counts["err"] or 0,
                     n_links,
                     n_cand,
                     n_cand - n_new,
                     n_new,
-                    0,  # patched below after seen count
+                    n_seen,
                     float(n_cand - n_new) / n_cand if n_cand else 0.0,
                     float(counts["p50"] or 0.0),
                     float(counts["p99"] or 0.0),
@@ -243,23 +330,51 @@ class CrawlEngine:
             ],
             schemas.CRAWL_METRICS,
         )
-        n_seen = new_seen.count()
-        metrics_row = metrics_row.withColumn("seen_cardinality", F.lit(n_seen))
-        new_metrics = self.metrics().unionByName(
-            metrics_row.select(*schemas.CRAWL_METRICS.fieldNames())
+
+        # per-partition lineage counters for this round's written data
+        # (north_star requirement; also the skew-diagnosis signal: a hot
+        # host shows up as one partition dwarfing the rest)
+        def plin(df: DataFrame, name: str) -> DataFrame:
+            return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+                F.count("*").alias("rows")
+            ).select(
+                F.lit(r).alias("round"),
+                F.lit(name).alias("table"),
+                "partition_id",
+                "rows",
+            )
+
+        lineage_delta = plin(new_entries, "frontier_new").unionByName(
+            plin(docs_new, "documents_new")
         )
 
-        tables = {
-            "frontier": new_frontier,
-            "seen": new_seen,
-            "documents": new_docs,
-            "crawl_metrics": new_metrics,
-        }
+        tables = {"frontier": new_frontier}
         if cfg.use_bloom:
             tables["seen_bloom"] = seen_filter.update_blooms(
                 blooms, new_entries, cfg.n_buckets, cfg.bits_per_bucket
             )
-        self.catalog.commit(tables, properties={"round": r})
+        self.catalog.commit(
+            tables,
+            appends={
+                "seen": seen_delta,
+                "documents": docs_new,
+                "crawl_metrics": metrics_row,
+                "partition_lineage": lineage_delta,
+            },
+            properties={
+                "round": r,
+                "seen_count": n_seen,
+                "frontier_count": n_frontier - n_popped + n_new,
+            },
+        )
+        mark("commit")
+        if timing:
+            total = sum(d for _, d in marks)
+            print(
+                f"ROUND {r} n_popped={n_popped} n_new={n_new} total={total:.2f} "
+                + " ".join(f"{k}={v}" for k, v in marks),
+                file=sys.stderr,
+            )
         for df in (popped, fetched, docs_new, candidates, new_entries):
             df.unpersist()
         return True

@@ -119,6 +119,18 @@ CRAWL_METRICS = T.StructType(
 )
 
 # Inverted-index postings (reference: indexer/indexer.go:10-18).
+# Per-partition lineage (north_star: "commits per-partition lineage and
+# counters to Iceberg"): row counts per physical partition of each table
+# written in a round — the audit trail for resume + skew diagnosis.
+PARTITION_LINEAGE = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("table", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("rows", T.LongType(), False),
+    ]
+)
+
 POSTINGS = T.StructType(
     [
         T.StructField("term", T.StringType(), False),

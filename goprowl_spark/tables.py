@@ -65,11 +65,16 @@ class SnapshotCatalog:
 
     def commit(
         self,
-        tables: dict[str, DataFrame],
+        tables: dict[str, DataFrame] | None = None,
         properties: dict | None = None,
+        appends: dict[str, DataFrame] | None = None,
     ) -> int:
-        """Write a new snapshot: ``tables`` are (re)written, everything else
-        carries over from the current snapshot by reference."""
+        """Write a new snapshot: ``tables`` are fully (re)written,
+        ``appends`` add a delta file-set to an existing table (Iceberg
+        fast-append analog — the grown table is never rewritten, which is
+        what keeps per-round commit cost O(delta) instead of O(total) for
+        monotone tables like `seen`), everything else carries over from the
+        current snapshot by reference."""
         manifest = self._read_manifest()
         sid = 0 if manifest["current"] is None else int(manifest["current"]) + 1
         prev = (
@@ -78,10 +83,37 @@ class SnapshotCatalog:
             else {"tables": {}}
         )
         entry = {"tables": dict(prev["tables"]), "properties": properties or {}}
-        for name, df in tables.items():
+
+        # the table writes are independent Spark jobs — submit them from a
+        # thread pool so the commit's wall time is max(write) not sum(write)
+        # (the scheduler interleaves them across the executor pool)
+        def write(item: tuple[str, DataFrame]) -> tuple[str, str]:
+            name, df = item
             path = os.path.join(self.root, "snapshots", str(sid), name)
             df.write.mode("overwrite").parquet(path)
-            entry["tables"][name] = path
+            return name, path
+
+        work = list((tables or {}).items()) + list((appends or {}).items())
+        if len(work) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(work)) as pool:
+                written = dict(pool.map(write, work))
+        else:
+            written = dict(map(write, work))
+
+        for name in tables or {}:
+            entry["tables"][name] = written[name]
+        for name in appends or {}:
+            existing = entry["tables"].get(name)
+            paths = (
+                existing
+                if isinstance(existing, list)
+                else [existing]
+                if existing
+                else []
+            )
+            entry["tables"][name] = paths + [written[name]]
         manifest["snapshots"][str(sid)] = entry
         manifest["current"] = sid
         self._write_manifest(manifest)
@@ -104,8 +136,8 @@ class SnapshotCatalog:
             if schema is None:
                 raise KeyError(f"table {table!r} not in snapshot {sid!r}")
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.parquet(path)
-        return df
+        paths = path if isinstance(path, list) else [path]
+        return self.spark.read.parquet(*paths)
 
     def properties(self, snapshot_id: int | None = None) -> dict:
         manifest = self._read_manifest()

@@ -1,0 +1,78 @@
+"""Physical-plan audit: for the plan-shape-critical operators, print the
+formatted plan and assert the shape we designed for — filters pushed to the
+parquet scan, column pruning, broadcast joins where a side is small, wide
+WholeStageCodegen spans, no stray shuffles.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from goprowl_spark import contract  # noqa: E402
+from goprowl_spark.session import get_spark  # noqa: E402
+
+CHECKS = {
+    # query name → (must_contain, must_not_contain)
+    "point_lookup": (["PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,42)]"], ["Exchange"]),
+    "type_filter": (["PushedFilters: [IsNotNull(lang), EqualTo(lang,en)"], []),
+    "broadcast_join_agg": (["BroadcastHashJoin"], ["SortMergeJoin"]),
+    "agg_q1": (["HashAggregate", "PushedFilters"], []),
+    "emb_cosine_topk": (["TakeOrderedAndProject"], ["Exchange hashpartitioning"]),
+    "tfidf_search": (["BroadcastHashJoin"], []),
+    "search_relevancy": ([], []),  # inspect manually: scan → project → filter
+}
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-audit", cores=8, shuffle_partitions=8)
+    qs = contract.queries()
+    failures = []
+    for name, (must, must_not) in CHECKS.items():
+        plan = plan_of(qs[name](spark, sf_dir))
+        probs = []
+        for frag in must:
+            if frag not in plan:
+                probs.append(f"missing {frag!r}")
+        for frag in must_not:
+            if frag in plan:
+                probs.append(f"unexpected {frag!r}")
+        status = "OK  " if not probs else "BAD "
+        print(f"{status} {name}" + ("" if not probs else f": {probs}"))
+        if probs:
+            failures.append(name)
+            print(plan)
+    # column pruning spot check: reading 2 cols of documents must not read text
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    plan = plan_of(df)
+    if "ReadSchema: struct<doc_id:bigint,lang:string>" not in plan:
+        failures.append("column_pruning")
+        print("BAD  column_pruning:")
+        print(plan)
+    else:
+        print("OK   column_pruning (ReadSchema = 2 columns)")
+    print()
+    if failures:
+        print("PLAN AUDIT FAILURES:", failures)
+        return 1
+    print("plan audit clean")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
