@@ -49,7 +49,38 @@ HEADLINE = [
 
 
 def run_crawl(cores: int) -> dict:
-    """One full crawl at the given parallelism; returns throughput stats."""
+    """One full crawl pinned to exactly ``cores`` machine cores.
+
+    The whole process tree (JVM task threads AND the Python UDF workers) is
+    pinned with taskset: in local mode UDF workers run outside Spark's task
+    slots, so without pinning a "local[4]" crawl silently consumes ~2x4
+    machine cores and the N-vs-4N comparison undercounts the small side.
+    An executor on a real cluster bundles its Python workers inside its
+    cgroup — pinning reproduces that resource envelope.
+    """
+    import subprocess
+
+    cmd = [
+        "taskset",
+        "-c",
+        f"0-{cores - 1}",
+        sys.executable,
+        os.path.abspath(__file__),
+        "--crawl-child",
+        str(cores),
+    ]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    except (FileNotFoundError, subprocess.CalledProcessError) as e:
+        if isinstance(e, subprocess.CalledProcessError):
+            print(e.stderr[-2000:], file=sys.stderr)
+            raise
+        # no taskset: fall back to unpinned in-process run
+        return _crawl_inprocess(cores)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _crawl_inprocess(cores: int) -> dict:
     from pyspark.sql import SparkSession
 
     from goprowl_spark import corpus
@@ -128,6 +159,9 @@ def run_queries() -> dict[str, float]:
 
 
 def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--crawl-child":
+        print(json.dumps(_crawl_inprocess(int(sys.argv[2]))))
+        return
     crawl_lo = run_crawl(SCALE_CORES_LO)
     crawl_hi = run_crawl(SCALE_CORES_HI)
     ratio = SCALE_CORES_HI / SCALE_CORES_LO

@@ -64,10 +64,15 @@ class CrawlEngine:
         robots_rules: DataFrame | None = None,
         host_budget: DataFrame | None = None,
         fetcher=None,
+        page_handler=None,
     ):
         """``corpus``: page table the fetch stage joins against (web-archive
         shape). ``fetcher``: batch→fetched callable (HTTP shape — work
-        proportional to the batch, nothing scanned); wins if both given."""
+        proportional to the batch, nothing scanned); wins if both given.
+        ``page_handler``: optional documents-DataFrame→DataFrame transform
+        applied to each round's parsed docs before commit — the PageHandler
+        callback (U1, reference: search/crawlers/types.go:49, wired
+        cmd/crawl.go:113) as a declarative per-round stage."""
         if corpus is None and fetcher is None:
             raise ValueError("need a corpus table or a fetcher")
         self.spark = spark
@@ -77,6 +82,7 @@ class CrawlEngine:
         self.robots_rules = robots_rules
         self.host_budget = host_budget
         self.fetcher = fetcher
+        self.page_handler = page_handler
 
     # ------------------------------------------------------------ state
 
@@ -155,9 +161,27 @@ class CrawlEngine:
     # ------------------------------------------------------------ one round
 
     def crawl_round(self) -> bool:
+        """One crawl round in six job waves, each a table write with
+        Observation-attached counters (no standalone count jobs):
+
+          1. documents  — fetch → parse → append write (the HTML flows
+                          straight through the Arrow parse UDF into parquet;
+                          nothing page-sized is ever cached or shuffled)
+          2. seen delta — links ← stored docs (columnar spans read) →
+                          candidates → Bloom+anti-join dedup → append write
+          3. frontier   — remainder ∪ new entries (skipped arithmetic-empty
+                          remainder when the pop is unbudgeted)
+          4. seen_bloom — touched bucket blobs rewritten
+          5. lineage    — per-partition row counters (north_star)
+          6. metrics    — the round's counter row (from the observations)
+
+        then one atomic manifest swing (Iceberg-commit analog).
+        """
         import os
         import sys
         import time
+
+        from pyspark.sql import Observation
 
         timing = os.environ.get("GOPROWL_TIMING") == "1"
         marks: list[tuple[str, float]] = []
@@ -183,29 +207,22 @@ class CrawlEngine:
         blooms = (
             self._load("seen_bloom", schemas.SEEN_BLOOM) if cfg.use_bloom else None
         )
+        sid = self.catalog.next_sid()
+        unbudgeted = self.host_budget is None and cfg.default_budget is None
 
         # W1/W2: deterministic, budget-bounded, skew-salted pop.
         popped = pop_batch(
             frontier, self.host_budget, cfg.default_budget, cfg.salt
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        n_popped = popped.count()
-        mark("pop")
-        remaining = frontier.join(
-            F.broadcast(popped.select("url")), "url", "left_anti"
-        )
-
-        # S1: fetch = join against the corpus (production: HTTP inside
-        # mapInPandas over this same batch DataFrame). The fetch batch is
-        # bounded (politeness budgets), the corpus is the whole web: build
-        # the hash table on the batch side so the corpus — HTML payloads
-        # included — is NEVER shuffled. Missing URLs (fetch failures)
-        # come back via a second tiny anti-join instead of a left join,
-        # because a left join could only broadcast its preserved side.
         batch = popped.select("url", "depth")
+
+        # S1: fetch — mapInPandas fetcher (HTTP shape), or join against a
+        # corpus table (web-archive shape). The batch side is bounded
+        # (politeness budgets) so it broadcasts; page payloads never shuffle.
         if self.fetcher is not None:
             fetched = self.fetcher(batch)
         else:
-            bcast_ok = n_popped <= cfg.broadcast_pop_limit
+            bcast_ok = n_frontier <= cfg.broadcast_pop_limit
             hit = self.corpus.select(
                 "url", "status", "html", "fetch_latency_ms"
             ).join(F.broadcast(batch) if bcast_ok else batch, on="url", how="inner")
@@ -223,15 +240,45 @@ class CrawlEngine:
             fetched = hit.select(
                 "url", "depth", "status", "html", "fetch_latency_ms"
             ).unionByName(missing)
-        fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
 
-        # S4/U5: parse successful pages into span sequences.
-        docs_new = with_document_columns(fetched, r).persist(
-            StorageLevel.MEMORY_AND_DISK
+        obs_fetch = Observation(f"fetch_r{r}_{sid}")
+        fetched = fetched.observe(
+            obs_fetch,
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("status") == 200).cast("long")).alias("ok"),
+            F.sum((F.col("status") != 200).cast("long")).alias("err"),
+            F.percentile_approx("fetch_latency_ms", 0.5).alias("p50"),
+            F.percentile_approx("fetch_latency_ms", 0.99).alias("p99"),
         )
 
-        # S3/P2/P3: expand links → candidates at depth+1.
-        links = extract_links(docs_new)
+        # S4/U5: parse into span sequences; wave 1 writes documents.
+        docs_new = with_document_columns(fetched, r)
+        if self.page_handler is not None:
+            docs_new = self.page_handler(docs_new)
+        obs_docs = Observation(f"docs_r{r}_{sid}")
+        docs_new = docs_new.observe(
+            obs_docs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(
+                F.sum(
+                    F.size(
+                        F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("link"))
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_links"),
+        )
+        docs_path = self.catalog.stage_path(sid, "documents")
+        docs_new.write.mode("overwrite").parquet(docs_path)
+        fstats = obs_fetch.get
+        dstats = obs_docs.get
+        n_popped = int(fstats["n"] or 0)
+        mark("fetch_parse_write")
+
+        # S3/P2/P3: expand links (from the just-written columnar docs —
+        # only the spans column is read back) → candidates at depth+1.
+        docs_stored = self.spark.read.parquet(docs_path)
+        links = extract_links(docs_stored)
         parent_depth = popped.select(
             F.col("url").alias("src_url"), F.col("depth").alias("src_depth")
         )
@@ -255,111 +302,128 @@ class CrawlEngine:
         if cfg.allowed_hosts is not None:
             candidates = candidates.where(F.col("host").isin(cfg.allowed_hosts))
         candidates = apply_robots(candidates, self.robots_rules)
-        candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+        obs_cand = Observation(f"cand_r{r}_{sid}")
+        candidates = candidates.observe(obs_cand, F.count(F.lit(1)).alias("n"))
 
-        # P4/J1/U7: Bloom-pruned exact dedup against the seen set.
-        new_entries = seen_filter.filter_unseen(candidates, seen, blooms).select(
-            "url",
-            "url_hash",
-            "host",
-            "depth",
-            (-F.col("depth")).cast("double").alias("priority"),
-            F.lit(r).alias("discovered_round"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-
-        new_frontier = remaining.unionByName(
-            new_entries.select(*schemas.FRONTIER.fieldNames())
+        # P4/J1/U7: Bloom-pruned exact dedup; wave 2 writes the seen delta.
+        obs_new = Observation(f"new_r{r}_{sid}")
+        new_entries = (
+            seen_filter.filter_unseen(candidates, seen, blooms)
+            .select(
+                "url",
+                "url_hash",
+                "host",
+                "depth",
+                (-F.col("depth")).cast("double").alias("priority"),
+                F.lit(r).alias("discovered_round"),
+            )
+            .observe(obs_new, F.count(F.lit(1)).alias("n"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        # `seen` and `documents` grow monotonically — commit them as
-        # fast-appends (delta files) so the round never rewrites the full
-        # history (Iceberg fast-append; the seen-dedup guarantees appended
-        # doc_ids are new, so append ≡ MERGE here).
-        seen_delta = new_entries.select(
+        seen_path = self.catalog.stage_path(sid, "seen")
+        new_entries.select(
             "url_hash", "url", "depth", F.lit(r).alias("first_seen_round")
+        ).write.mode("overwrite").parquet(seen_path)
+        n_cand = int(obs_cand.get["n"] or 0)
+        n_new = int(obs_new.get["n"] or 0)
+        mark("dedup_seen_write")
+
+        # wave 3: frontier. With an unbudgeted pop the remainder is empty by
+        # construction — skip the anti-join entirely.
+        if unbudgeted:
+            new_frontier = new_entries.select(*schemas.FRONTIER.fieldNames())
+        else:
+            remaining = frontier.join(
+                F.broadcast(popped.select("url")), "url", "left_anti"
+            )
+            new_frontier = remaining.unionByName(
+                new_entries.select(*schemas.FRONTIER.fieldNames())
+            )
+        frontier_path = self.catalog.stage_path(sid, "frontier")
+        bloom_path = (
+            self.catalog.stage_path(sid, "seen_bloom") if cfg.use_bloom else None
         )
 
-        # A7-A9/S12: per-round lineage + counters (one agg job per persisted
-        # intermediate; running totals carried in snapshot properties).
-        counts = fetched.agg(
-            F.sum((F.col("status") == 200).cast("long")).alias("ok"),
-            F.sum((F.col("status") != 200).cast("long")).alias("err"),
-            F.percentile_approx("fetch_latency_ms", 0.5).alias("p50"),
-            F.percentile_approx("fetch_latency_ms", 0.99).alias("p99"),
-        ).collect()[0]
-        mark("fetch")
-        # one agg over the persisted docs materializes the parse AND yields
-        # the link count (no separate links.count job)
-        n_links = int(
-            docs_new.agg(
-                F.coalesce(
-                    F.sum(
-                        F.size(
-                            F.filter(
-                                F.col("spans"), lambda s: s["kind"] == F.lit("link")
-                            )
-                        )
-                    ),
-                    F.lit(0),
+        # wave 5: per-partition lineage counters (north_star requirement;
+        # also the skew-diagnosis signal — a hot host shows up as one
+        # partition dwarfing the rest).
+        def plin(df: DataFrame, name: str) -> DataFrame:
+            return (
+                df.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(F.count("*").alias("rows"))
+                .select(
+                    F.lit(r).alias("round"),
+                    F.lit(name).alias("table"),
+                    "partition_id",
+                    "rows",
                 )
-            ).collect()[0][0]
+            )
+
+        lineage_path = self.catalog.stage_path(sid, "partition_lineage")
+        lineage_df = plin(new_entries, "frontier_new").unionByName(
+            plin(docs_stored, "documents_new")
         )
-        mark("parse")
-        n_cand = candidates.count()
-        mark("candidates")
-        n_new = new_entries.count()
-        mark("dedup")
+
         prev_seen = int(props.get("seen_count", 0))
         n_seen = prev_seen + n_new
-        metrics_row = self.spark.createDataFrame(
+        metrics_path = self.catalog.stage_path(sid, "crawl_metrics")
+        metrics_df = self.spark.createDataFrame(
             [
                 (
                     r,
                     n_frontier,
                     n_popped,
-                    counts["ok"] or 0,
-                    counts["err"] or 0,
-                    n_links,
+                    int(fstats["ok"] or 0),
+                    int(fstats["err"] or 0),
+                    int(dstats["n_links"] or 0),
                     n_cand,
                     n_cand - n_new,
                     n_new,
                     n_seen,
                     float(n_cand - n_new) / n_cand if n_cand else 0.0,
-                    float(counts["p50"] or 0.0),
-                    float(counts["p99"] or 0.0),
+                    float(fstats["p50"] or 0.0),
+                    float(fstats["p99"] or 0.0),
                 )
             ],
             schemas.CRAWL_METRICS,
-        )
+        ).coalesce(1)
 
-        # per-partition lineage counters for this round's written data
-        # (north_star requirement; also the skew-diagnosis signal: a hot
-        # host shows up as one partition dwarfing the rest)
-        def plin(df: DataFrame, name: str) -> DataFrame:
-            return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-                F.count("*").alias("rows")
-            ).select(
-                F.lit(r).alias("round"),
-                F.lit(name).alias("table"),
-                "partition_id",
-                "rows",
+        # waves 3-6 are all small writes over hot caches — run them as
+        # concurrent jobs so the round pays one job latency, not four
+        # (the big docs/seen writes above stay sequential: measured at
+        # local[16], concurrent big writes contend and lose).
+        tail = [(frontier_path, new_frontier), (lineage_path, lineage_df),
+                (metrics_path, metrics_df)]
+        if bloom_path is not None:
+            tail.append(
+                (
+                    bloom_path,
+                    seen_filter.update_blooms(
+                        blooms, new_entries, cfg.n_buckets, cfg.bits_per_bucket
+                    ),
+                )
             )
+        from concurrent.futures import ThreadPoolExecutor
 
-        lineage_delta = plin(new_entries, "frontier_new").unionByName(
-            plin(docs_new, "documents_new")
-        )
-
-        tables = {"frontier": new_frontier}
-        if cfg.use_bloom:
-            tables["seen_bloom"] = seen_filter.update_blooms(
-                blooms, new_entries, cfg.n_buckets, cfg.bits_per_bucket
+        with ThreadPoolExecutor(max_workers=len(tail)) as pool:
+            list(
+                pool.map(
+                    lambda t: t[1].write.mode("overwrite").parquet(t[0]), tail
+                )
             )
-        self.catalog.commit(
-            tables,
+        mark("tail_writes")
+
+        tables = {"frontier": frontier_path}
+        if bloom_path is not None:
+            tables["seen_bloom"] = bloom_path
+        self.catalog.commit_staged(
+            sid,
+            tables=tables,
             appends={
-                "seen": seen_delta,
-                "documents": docs_new,
-                "crawl_metrics": metrics_row,
-                "partition_lineage": lineage_delta,
+                "documents": docs_path,
+                "seen": seen_path,
+                "crawl_metrics": metrics_path,
+                "partition_lineage": lineage_path,
             },
             properties={
                 "round": r,
@@ -367,7 +431,7 @@ class CrawlEngine:
                 "frontier_count": n_frontier - n_popped + n_new,
             },
         )
-        mark("commit")
+        mark("manifest")
         if timing:
             total = sum(d for _, d in marks)
             print(
@@ -375,6 +439,6 @@ class CrawlEngine:
                 + " ".join(f"{k}={v}" for k, v in marks),
                 file=sys.stderr,
             )
-        for df in (popped, fetched, docs_new, candidates, new_entries):
+        for df in (popped, new_entries):
             df.unpersist()
         return True

@@ -1,0 +1,116 @@
+"""SearchEngine facade — the reference's engine interface (U4) over the
+DataFrame pipeline.
+
+Reference: search/engine/types.go:84-105 (Index, BatchIndex, Search,
+SearchWithOptions, GetTotalResults, Suggest, Delete, List, Clear, Stats,
+Reindex) as implemented by BasicSearchEngine (basic_search.go). A user of
+the reference switches to this class and keeps every call they make today;
+each method delegates to the distributed operators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goprowl_spark import ranking, schemas
+from goprowl_spark import search as gsearch
+from goprowl_spark.store import DocumentStore
+
+
+@dataclass
+class SearchStats:
+    document_count: int
+    last_indexed_snapshot: int | None
+
+
+class GoProwlSearchEngine:
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.store = DocumentStore(spark, workdir)
+
+    # ------------------------------------------------------------ indexing
+
+    def index(self, doc_id: str, title: str, content: str, doc_type: str = "webpage") -> None:
+        """Index one document (reference Index, basic_search.go:139-199;
+        empty-field guard P8 at :174-182 — empty title/content still stored,
+        matching the storage write there)."""
+        df = self.spark.createDataFrame(
+            [
+                (
+                    doc_id,
+                    [("title", title, "", 0), ("text", content, "", 1)],
+                    title,
+                    content,
+                    doc_type,
+                    None,
+                    None,
+                )
+            ],
+            schemas.DOCUMENTS,
+        ).withColumn("content_hash", F.xxhash64("content"))
+        self.store.batch_store(df)
+
+    def batch_index(self, docs: DataFrame) -> None:
+        """BatchIndex (basic_search.go:201-221) — one snapshot per batch."""
+        self.store.batch_store(docs)
+
+    def delete(self, doc_id: str) -> None:
+        self.store.delete(doc_id)
+
+    def clear(self) -> None:
+        self.store.clear()
+
+    def reindex(self) -> DataFrame:
+        """Reindex (stub in reference, basic_search.go:233-236; real here):
+        rebuild the postings DataFrame from the stored documents."""
+        return ranking.build_postings(self.store.get_all())
+
+    # ------------------------------------------------------------ queries
+
+    def search(
+        self,
+        query: str,
+        filters: dict[str, str] | None = None,
+        page: int = 1,
+        size: int = 10,
+        strict: bool = False,
+    ) -> DataFrame:
+        return gsearch.search(
+            self.store.get_all(), query, filters=filters, page=page, size=size,
+            strict=strict,
+        )
+
+    def get_total_results(self, query: str) -> int:
+        """GetTotalResults (basic_search.go:341-361)."""
+        terms = gsearch.parse_query(query)
+        docs = self.store.get_all()
+        score = gsearch.compile_score(terms, F.col("title"), F.col("content"))
+        return docs.where(score > 0).count()
+
+    def suggest(self, prefix: str, limit: int = 10) -> list[str]:
+        """Suggest (stub in reference, basic_search.go:228-231; real here):
+        vocabulary terms with the given prefix."""
+        vocab = (
+            self.reindex()
+            .select("term")
+            .where(F.col("term").startswith(prefix))
+            .distinct()
+            .orderBy("term")
+            .limit(limit)
+        )
+        return [r["term"] for r in vocab.collect()]
+
+    def facets(self) -> DataFrame:
+        return gsearch.facets(self.store.get_all())
+
+    def list(self) -> DataFrame:
+        return self.store.list()
+
+    def stats(self) -> SearchStats:
+        return SearchStats(
+            document_count=self.store.get_all().count(),
+            last_indexed_snapshot=self.store.catalog.latest(),
+        )

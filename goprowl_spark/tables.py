@@ -84,9 +84,10 @@ class SnapshotCatalog:
         )
         entry = {"tables": dict(prev["tables"]), "properties": properties or {}}
 
-        # the table writes are independent Spark jobs — submit them from a
-        # thread pool so the commit's wall time is max(write) not sum(write)
-        # (the scheduler interleaves them across the executor pool)
+        # Sequential writes by default: measured at local[16], concurrent
+        # write jobs contend on cache/disk and run slower than back-to-back
+        # (opt back in with GOPROWL_THREADED_COMMIT=1 for multi-executor
+        # clusters where the jobs land on disjoint machines).
         def write(item: tuple[str, DataFrame]) -> tuple[str, str]:
             name, df = item
             path = os.path.join(self.root, "snapshots", str(sid), name)
@@ -94,7 +95,7 @@ class SnapshotCatalog:
             return name, path
 
         work = list((tables or {}).items()) + list((appends or {}).items())
-        if len(work) > 1:
+        if len(work) > 1 and os.environ.get("GOPROWL_THREADED_COMMIT") == "1":
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=len(work)) as pool:
@@ -114,6 +115,56 @@ class SnapshotCatalog:
                 else []
             )
             entry["tables"][name] = paths + [written[name]]
+        manifest["snapshots"][str(sid)] = entry
+        manifest["current"] = sid
+        self._write_manifest(manifest)
+        return sid
+
+    # -------------------------------------------------------- staged commit
+
+    def next_sid(self) -> int:
+        cur = self._read_manifest()["current"]
+        return 0 if cur is None else int(cur) + 1
+
+    def stage_path(self, sid: int, name: str) -> str:
+        """Where a caller should write table ``name`` for snapshot ``sid``
+        (lets the caller interleave its own actions between table writes —
+        e.g. collecting Observation metrics after one write feeds the next)."""
+        return os.path.join(self.root, "snapshots", str(sid), name)
+
+    def commit_staged(
+        self,
+        sid: int,
+        tables: dict[str, str] | None = None,
+        appends: dict[str, str] | None = None,
+        properties: dict | None = None,
+    ) -> int:
+        """Finish a staged snapshot: paths were already written by the
+        caller (via stage_path); this just swings the manifest pointer —
+        the atomic step. tables: name→path full replace; appends:
+        name→path delta."""
+        manifest = self._read_manifest()
+        expect = 0 if manifest["current"] is None else int(manifest["current"]) + 1
+        if sid != expect:
+            raise ValueError(f"staged sid {sid} != expected {expect}")
+        prev = (
+            manifest["snapshots"].get(str(manifest["current"]), {"tables": {}})
+            if manifest["current"] is not None
+            else {"tables": {}}
+        )
+        entry = {"tables": dict(prev["tables"]), "properties": properties or {}}
+        for name, path in (tables or {}).items():
+            entry["tables"][name] = path
+        for name, path in (appends or {}).items():
+            existing = entry["tables"].get(name)
+            paths = (
+                existing
+                if isinstance(existing, list)
+                else [existing]
+                if existing
+                else []
+            )
+            entry["tables"][name] = paths + [path]
         manifest["snapshots"][str(sid)] = entry
         manifest["current"] = sid
         self._write_manifest(manifest)
