@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CRAWL_N = int(os.environ.get("BENCH_CRAWL_N", "8000000"))
-CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "150000"))
+CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "300000"))
 CRAWL_DEPTH = 2
 # the N-vs-4N scaling pair; 4/16 leaves scheduler headroom on a 32-core box
 SCALE_CORES_LO = int(os.environ.get("BENCH_CORES_LO", "4"))
