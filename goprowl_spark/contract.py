@@ -371,6 +371,18 @@ def q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded random-hyperplane LSH near-dup pairs, exact-verified (rows-
+    only: hyperplane hashing isn't DuckDB-replicable; no-false-positive +
+    recall properties pinned in tests/test_lsh_pairs.py)."""
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()["embedding"])
+    pairs = similarity.lsh_cosine_pairs(emb, threshold=0.45, dim=dim)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (rows-only: centroid pruning is the point;
     exactness-within-probed-clusters is pinned in tests/test_similarity.py)."""
@@ -630,6 +642,7 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
     "emb_cosine_topk": _emb_cosine_topk_oracle(),
     "emb_cosine_pairs": _emb_cosine_pairs_oracle(),
     "emb_ivf_topk": None,
+    "emb_lsh_pairs": None,
     "lang_id": textstats.lang_id_sql("documents", "doc_id", "text"),
     "token_counts": textstats.token_counts_sql("documents", "doc_id", "text"),
     "quality_scores": textstats.quality_scores_sql("documents", "doc_id", "text"),
@@ -667,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_lsh_pairs": q_emb_lsh_pairs,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,

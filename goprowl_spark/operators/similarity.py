@@ -167,11 +167,15 @@ def _plane_component(p: int, j: int) -> float:
     return 1.0 if ((p * 31 + j * 17 + (p * j) % 13) % 2) == 0 else -1.0
 
 
-def lsh_signature_col(vec_col: Column, dim: int, n_planes: int) -> Column:
+def lsh_signature_col(
+    vec_col: Column, dim: int, n_planes: int, plane_offset: int = 0
+) -> Column:
     """Sign-of-projection bits packed into a long, all column algebra."""
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[F.lit(_plane_component(p, j)) for j in range(dim)])
+        plane = F.array(
+            *[F.lit(_plane_component(p + plane_offset, j)) for j in range(dim)]
+        )
         bit = F.when(dot(vec_col.cast("array<double>"), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
         sig = sig + F.shiftleft(bit.cast("long"), p)
     return sig
@@ -205,6 +209,60 @@ def lsh_bucket_topk(
         .select(F.col(id_col).alias("vec_id"), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
+    )
+
+
+def lsh_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    bands: int = 8,
+    planes_per_band: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs without a blocking column: banded
+    random-hyperplane LSH. Vectors colliding on any band's sub-signature
+    become candidates (equi-join per band — never a cross join); candidates
+    are verified with the exact cosine so output has no false positives.
+    Recall follows the LSH S-curve 1-(1-p^r)^b with p = 1 - angle/π.
+
+    At 10^10 scale the band keys are bucketed storage keys; here the same
+    join shape at test size. Returns (id_a, id_b, cosine), id_a < id_b.
+    """
+    sigs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        *[
+            lsh_signature_col(
+                F.col(vec_col), dim, planes_per_band, plane_offset=b * planes_per_band
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ],
+    )
+    cand = None
+    for b in range(bands):
+        left = sigs.select(F.col("vec_id").alias("id_a"), F.col(f"band_{b}").alias("k"))
+        right = sigs.select(F.col("vec_id").alias("id_b"), F.col(f"band_{b}").alias("k"))
+        pairs = left.join(right, "k").where(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b"
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    va = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    sim = dot(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")) / (
+        norm(F.col("va")) * norm(F.col("vb"))
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
     )
 
 
