@@ -1,0 +1,64 @@
+"""Crash safety: the manifest swing is the atomic commit point — staged
+table files written without a manifest update are invisible, the previous
+snapshot stays authoritative, and re-running the round from it converges to
+the same final state (north_rule: resume exactly from any checkpoint)."""
+
+from goprowl_spark import corpus, schemas
+from goprowl_spark.crawl import CrawlConfig, CrawlEngine
+
+N = 300
+
+
+def test_staged_writes_without_commit_are_invisible(spark, tmp_path):
+    cfg = CrawlConfig(seeds=[corpus.url(0)], max_depth=3)
+    eng = CrawlEngine(
+        spark, None, str(tmp_path), cfg, fetcher=corpus.make_fetcher(N)
+    )
+    eng.start()
+    eng.crawl_round()
+    seen_after_r1 = sorted(r["url"] for r in eng.seen().collect())
+    round_after_r1 = eng.current_round()
+
+    # simulate a crash mid-round-2: stage some writes, never swing manifest
+    sid = eng.catalog.next_sid()
+    eng.frontier().write.mode("overwrite").parquet(
+        eng.catalog.stage_path(sid, "frontier")
+    )
+    eng.seen().limit(1).write.mode("overwrite").parquet(
+        eng.catalog.stage_path(sid, "seen")
+    )
+
+    # the catalog still serves the round-1 snapshot
+    assert eng.current_round() == round_after_r1
+    assert sorted(r["url"] for r in eng.seen().collect()) == seen_after_r1
+
+    # a fresh engine over the same workdir resumes and finishes; the result
+    # equals an uninterrupted crawl (the orphaned staged files are simply
+    # overwritten when round 2 really commits)
+    resumed = CrawlEngine(
+        spark, None, str(tmp_path), cfg, fetcher=corpus.make_fetcher(N)
+    )
+    resumed.run()
+
+    clean = CrawlEngine(
+        spark, None, str(tmp_path / "clean"), cfg, fetcher=corpus.make_fetcher(N)
+    )
+    clean.run()
+    a = sorted(resumed.seen().toJSON().collect())
+    b = sorted(clean.seen().toJSON().collect())
+    assert a == b
+    da = sorted(resumed.documents().toJSON().collect())
+    db = sorted(clean.documents().toJSON().collect())
+    assert da == db
+
+
+def test_stale_sid_commit_rejected(spark, tmp_path):
+    from goprowl_spark.tables import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    df = spark.createDataFrame([(1,)], "id int")
+    cat.commit({"t": df})
+    import pytest
+
+    with pytest.raises(ValueError):
+        cat.commit_staged(5, tables={"t": "/nonexistent"})
