@@ -119,10 +119,19 @@ def _crawl_inprocess(cores: int) -> dict:
     t0 = time.time()
     eng.run()
     dt = time.time() - t0
-    m = eng.metrics().groupBy().sum("popped", "candidates").collect()[0]
-    fetched = int(m[0] or 0)
-    candidates = int(m[1] or 0)
+    rounds = [
+        r.asDict()
+        for r in eng.metrics()
+        .select("round", "popped", "candidates", "round_wall_sec")
+        .orderBy("round")
+        .collect()
+    ]
+    fetched = sum(r["popped"] for r in rounds)
+    candidates = sum(r["candidates"] for r in rounds)
     seen = eng.seen().count()
+    # steady-state round: the biggest round, where per-round fixed overhead
+    # is best amortized (the shape every round has at 10^10-frontier scale)
+    big = max(rounds, key=lambda r: r["popped"] + r["candidates"])
     spark.stop()
     shutil.rmtree(workdir, ignore_errors=True)
     # fetched+deduped work units: every popped URL is fetched, every
@@ -134,6 +143,10 @@ def _crawl_inprocess(cores: int) -> dict:
         "candidates_deduped": candidates,
         "seen_final": seen,
         "urls_per_sec": round((fetched + candidates) / dt, 1),
+        "steady_round": big["round"],
+        "steady_urls_per_sec": round(
+            (big["popped"] + big["candidates"]) / big["round_wall_sec"], 1
+        ),
     }
 
 
@@ -166,6 +179,9 @@ def main() -> None:
     crawl_hi = run_crawl(SCALE_CORES_HI)
     ratio = SCALE_CORES_HI / SCALE_CORES_LO
     eff = crawl_hi["urls_per_sec"] / (ratio * crawl_lo["urls_per_sec"])
+    eff_steady = crawl_hi["steady_urls_per_sec"] / (
+        ratio * crawl_lo["steady_urls_per_sec"]
+    )
     queries = run_queries()
     result = {
         "metric": "headline_queries_total",
@@ -182,6 +198,7 @@ def main() -> None:
             "urls_fetched_deduped_per_sec": crawl_hi["urls_per_sec"],
             "scaling_cores": [SCALE_CORES_LO, SCALE_CORES_HI],
             "scaling_efficiency": round(eff, 3),
+            "scaling_efficiency_steady_round": round(eff_steady, 3),
         },
     }
     print(json.dumps(result))

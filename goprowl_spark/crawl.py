@@ -185,7 +185,8 @@ class CrawlEngine:
 
         timing = os.environ.get("GOPROWL_TIMING") == "1"
         marks: list[tuple[str, float]] = []
-        t_last = time.time()
+        t_round0 = time.time()
+        t_last = t_round0
 
         def mark(stage: str) -> None:
             nonlocal t_last
@@ -383,6 +384,7 @@ class CrawlEngine:
                     float(n_cand - n_new) / n_cand if n_cand else 0.0,
                     float(fstats["p50"] or 0.0),
                     float(fstats["p99"] or 0.0),
+                    round(time.time() - t_round0, 3),
                 )
             ],
             schemas.CRAWL_METRICS,

@@ -115,6 +115,7 @@ CRAWL_METRICS = T.StructType(
         T.StructField("dedup_rate", T.DoubleType(), False),
         T.StructField("fetch_latency_p50_ms", T.DoubleType(), False),
         T.StructField("fetch_latency_p99_ms", T.DoubleType(), False),
+        T.StructField("round_wall_sec", T.DoubleType(), False),
     ]
 )
 
