@@ -41,7 +41,16 @@ def cmd_crawl(args) -> int:
     engine = CrawlEngine(
         spark, corpus.corpus_df(spark, args.corpus_n), args.workdir, cfg
     )
-    if args.resume and engine.catalog.latest() is not None:
+    if engine.catalog.latest() is not None:
+        if not args.resume:
+            # Never silently continue an old crawl with fresh seeds/depth
+            # (Application.Run clears before crawling — application.go:106-126).
+            print(
+                f"error: {args.workdir} already contains a crawl; "
+                "pass --resume to continue it or choose a fresh --workdir",
+                file=sys.stderr,
+            )
+            return 2
         print(f"resuming from snapshot {engine.catalog.latest()}", file=sys.stderr)
     summary = engine.run(max_rounds=args.max_rounds)
     metrics = [r.asDict() for r in engine.metrics().orderBy("round").collect()]
@@ -55,7 +64,12 @@ def cmd_search(args) -> int:
     hits = gsearch.search(
         store.get_all(), args.query, page=args.page, size=args.size
     ).select("doc_id", "title", "score")
-    total = gsearch.search(store.get_all(), args.query, size=1 << 31).count()
+    # Total = count of score>0 rows (no ranking of the full corpus; the old
+    # size=2^31 search ranked every hit through the pagination sort).
+    score = gsearch.compile_score(
+        gsearch.parse_query(args.query), F.col("title"), F.col("content")
+    )
+    total = store.get_all().where(score > 0).count()
     facet_rows = gsearch.facets(store.get_all()).collect()
     out = {
         "hits": [r.asDict() for r in hits.collect()],

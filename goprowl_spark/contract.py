@@ -204,12 +204,14 @@ def q_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- relational
 
 def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2 offset+limit pagination as a rank window (page 3, size 20)."""
+    """O2 offset+limit pagination (page 3, size 20) as sort+OFFSET/LIMIT —
+    TakeOrderedAndProject partial top-60 per partition, not a global
+    single-partition row_number window."""
     orders = _tbl(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") > 40) & (F.col("rn") <= 60))
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(40)
+        .limit(20)
         .select("o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"))
     )
 
@@ -325,11 +327,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JACCARD_THRESHOLD = 0.25
+# Stop-shingle cap: shingles present in more than this many docs are dropped
+# BEFORE the inverted-index self-join (a shared shingle fans out
+# quadratically in its doc frequency). Mirrored exactly in the oracle.
+JACCARD_DF_CAP = 100
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.jaccard_pairs(
-        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD, text_col="text"
+        _docs(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+        text_col="text",
+        df_cap=JACCARD_DF_CAP,
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -529,9 +538,13 @@ WITH toks AS (
                      t -> t <> '') AS arr
   FROM documents
 ),
-sh AS (
+sh_all AS (
   SELECT DISTINCT doc_id, array_to_string(arr[g:g+2], ' ') AS shingle
   FROM toks, unnest(generate_series(1, greatest(len(arr) - 2, 0))) t(g)
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= {JACCARD_DF_CAP}
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (

@@ -309,7 +309,9 @@ class CrawlEngine:
         # P4/J1/U7: Bloom-pruned exact dedup; wave 2 writes the seen delta.
         obs_new = Observation(f"new_r{r}_{sid}")
         new_entries = (
-            seen_filter.filter_unseen(candidates, seen, blooms)
+            seen_filter.filter_unseen(
+                candidates, seen, blooms, cfg.n_buckets, cfg.bits_per_bucket
+            )
             .select(
                 "url",
                 "url_hash",
@@ -334,9 +336,12 @@ class CrawlEngine:
         if unbudgeted:
             new_frontier = new_entries.select(*schemas.FRONTIER.fieldNames())
         else:
-            remaining = frontier.join(
-                F.broadcast(popped.select("url")), "url", "left_anti"
-            )
+            # popped is budget×hosts rows — broadcast only when bounded
+            # (millions of hosts would OOM the driver otherwise).
+            popped_urls = popped.select("url")
+            if n_popped <= cfg.broadcast_pop_limit:
+                popped_urls = F.broadcast(popped_urls)
+            remaining = frontier.join(popped_urls, "url", "left_anti")
             new_frontier = remaining.unionByName(
                 new_entries.select(*schemas.FRONTIER.fieldNames())
             )

@@ -57,7 +57,11 @@ def word_shingles(text_col, n: int = 3):
     """Distinct n-word shingles as a JVM-side array expression (no UDF):
     tokens[i..i+n-1] joined by space, for i in 0..len-n."""
     toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != F.lit(""))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0)))
+    # Guard: sequence(1, 0) would step DOWN to [1, 0] and slice(toks, 0, n)
+    # throws INVALID_PARAMETER_VALUE.START — docs shorter than n shingle to [].
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     )

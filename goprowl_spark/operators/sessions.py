@@ -60,8 +60,8 @@ WITH flagged AS (
 ),
 sid AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -88,13 +88,16 @@ def tfidf_scores(
     (J5). Result: (doc_id, score) sorted desc with deterministic tie-break.
     """
     terms = _query_terms_df(spark, query)
-    df_per_term = postings.groupBy("term").agg(
+    # Semi-join FIRST: df is aggregated over only the postings of the few
+    # query terms, not the full vocabulary — at corpus scale this turns a
+    # whole-postings shuffle into a broadcast-filtered slice.
+    qpost = postings.join(F.broadcast(terms), "term")
+    df_per_term = qpost.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
     idf = 1.0 + F.floor(F.lit(float(total_docs)) / F.col("df"))
     scored = (
-        postings.join(F.broadcast(terms), "term")
-        .join(F.broadcast(df_per_term.join(terms, "term").select("term", "df")), "term")
+        qpost.join(F.broadcast(df_per_term), "term")
         .join(doc_stats, "doc_id")
         .select(
             "doc_id",
@@ -120,7 +123,9 @@ def bm25_scores(
 ) -> DataFrame:
     """Ranker.Score summed over query terms (ranker.go:22-41)."""
     terms = _query_terms_df(spark, query)
-    df_per_term = postings.groupBy("term").agg(
+    # Same semi-join-first shape as tfidf_scores: df over the query slice only.
+    qpost = postings.join(F.broadcast(terms), "term")
+    df_per_term = qpost.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
     avgdl = doc_stats.agg(F.avg("doc_len")).collect()[0][0] or 0.0
@@ -129,8 +134,7 @@ def bm25_scores(
     tf = F.col("tf").cast("double")
     denom = tf + K1 * (1 - B + B * F.col("doc_len") / F.lit(float(avgdl)))
     scored = (
-        postings.join(F.broadcast(terms), "term")
-        .join(F.broadcast(df_per_term.join(terms, "term").select("term", "df")), "term")
+        qpost.join(F.broadcast(df_per_term), "term")
         .join(doc_stats, "doc_id")
         .select(
             "doc_id",

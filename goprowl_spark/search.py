@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SIMPLE, PHRASE, FUZZY, BOOLEAN = 0, 1, 2, 3
@@ -146,10 +146,12 @@ def search(
     """The Search pipeline (basic_search.go:22-102): score → filters →
     score>0 → deterministic sort → offset/limit pagination.
 
-    Pagination uses a rank window bounded between (start, end] — equivalent
-    to the reference's slice [start:end] (basic_search.go:58-76) but
-    expressed so Catalyst can push the whole thing into one TakeOrdered-
-    style plan. Returns (id, score) plus pass-through columns.
+    Pagination is sort + OFFSET/LIMIT — the reference's slice [start:end]
+    (basic_search.go:58-76). Catalyst compiles it to TakeOrderedAndProject
+    (per-partition partial top-(page·size), then merge), so unlike a
+    row_number window with no partitionBy, NO single-partition global
+    shuffle happens — only ≤page·size rows ever leave each partition.
+    Returns (id, score) plus pass-through columns.
     """
     terms = parse_query(query_str)
     title, content = F.col(title_col), F.col(content_col)
@@ -166,12 +168,11 @@ def search(
             elif t.excluded:
                 df = df.where(~m)
     df = df.where(F.col("score") > 0)
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    start, end = (page - 1) * size, page * size
+    start = (page - 1) * size
     return (
-        df.withColumn("__rank", F.row_number().over(w))
-        .where((F.col("__rank") > start) & (F.col("__rank") <= end))
-        .drop("__rank")
+        df.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .offset(start)
+        .limit(size)
     )
 
 

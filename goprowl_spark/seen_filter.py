@@ -147,15 +147,21 @@ def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
     seen_bloom: DataFrame | None,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    bits_per_bucket: int = DEFAULT_BITS_PER_BUCKET,
 ) -> DataFrame:
     """The dedup-visited operator (P4/J1): candidates not yet in the seen set.
 
     With a Bloom table: definitely-new rows bypass the join; maybe-seen rows
     take the exact left-anti join (on the already-computed 64-bit hash, with
     url equality re-check to make hash collisions harmless).
+
+    ``n_buckets``/``bits_per_bucket`` MUST match the parameters the blobs
+    were built with (update_blooms) — a mismatch mis-addresses buckets/bits
+    and silently breaks the no-false-negative invariant.
     """
     if seen_bloom is not None:
-        probed = probe_blooms(candidates, seen_bloom)
+        probed = probe_blooms(candidates, seen_bloom, n_buckets, bits_per_bucket)
         fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
         survivors = maybe.join(seen, on=["url_hash", "url"], how="left_anti")
