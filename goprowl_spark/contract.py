@@ -82,9 +82,10 @@ def q_crawl_bfs_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_crawl_budget_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-budget-constrained crawl (per-host top-k pop, W1): the
-    seen-set after 12 rounds at ≤5 fetches/host/round. Not SQL-expressible
-    (iterative budgeted scheduling) → rows-only here; trace-verified against
-    the sequential Python oracle in tests/test_crawl.py."""
+    seen-set after 12 rounds at ≤5 fetches/host/round. Oracle: the round
+    loop is a fixed config, so corpus.budget_bfs_oracle_sql UNROLLS it into
+    12 materialized CTE blocks (pop→cand→dedup→commit per round); also
+    trace-verified against the sequential Python oracle in tests/."""
     n = _docs(spark, sf_dir).count() * CORPUS_MULT
     eng = CrawlEngine(
         spark,
@@ -118,6 +119,76 @@ def _mk_search(qstr: str):
         ).select("doc_id", "score")
 
     return fn
+
+
+PROCESSOR_QUERY = "spark OR data AND join"
+# programmatic per-term boosts (the reference parser never sets Boost —
+# processor.go:23 is caller-assigned; ranker BoostScore multiplies it)
+PROCESSOR_BOOSTS = {"spark": 2.5, "join": 0.5}
+
+
+def _processor_terms():
+    terms = gsearch.parse_query(PROCESSOR_QUERY, processor=True)
+    for t in terms:
+        t.boost = PROCESSOR_BOOSTS.get(t.text, 1.0)
+    return terms
+
+
+def q_search_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The richer query processor (processor.go:34-119) as a mode: OR is
+    consumed (not scored as a term) and per-term Boost multiplies the term
+    score. Oracle compiles the identical term list to SQL."""
+    return gsearch.search(
+        _search_docs(spark, sf_dir), PROCESSOR_QUERY, size=20,
+        terms=_processor_terms(),
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_metadata_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 map surface over the document metadata bag (storage/types.go:15):
+    build metadata, merge an entry with map_concat, filter and project via
+    element_at. Oracle computes the same values relationally."""
+    d = _docs(spark, sf_dir)
+    docs = d.select(
+        "doc_id",
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ).alias("metadata"),
+    ).withColumn(
+        "metadata",
+        F.map_concat(
+            "metadata", F.create_map(F.lit("origin"), F.lit("testdata"))
+        ),
+    )
+    return (
+        docs.where(F.element_at("metadata", "lang") == "en")
+        .select(
+            "doc_id",
+            F.element_at("metadata", "source").alias("source"),
+            F.element_at("metadata", "origin").alias("origin"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_permission_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permission-read role filter (engine/types.go:69-81): docs whose
+    permission_read array grants the role (empty/null = public)."""
+    d = _docs(spark, sf_dir)
+    docs = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "de", F.array(F.col("lang")))
+        .otherwise(F.lit(None).cast("array<string>"))
+        .alias("permission_read"),
+    )
+    public = F.col("permission_read").isNull() | (
+        F.size("permission_read") == 0
+    )
+    return (
+        docs.where(public | F.array_contains("permission_read", "en"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,9 +417,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (xxhash64 signatures — not replicable in
-    DuckDB → rows-only; no-false-positive + recall properties are pinned in
-    tests/test_dedup.py)."""
+    """MinHash-LSH near-dup pairs. Signatures are md5-derived (dedup.h60 +
+    integer permutations) so the DuckDB oracle replays banding, candidate
+    join AND exact-Jaccard verification value-for-value; recall/no-false-
+    positive properties are additionally pinned in tests/test_dedup.py."""
     pairs = dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD, text_col="text"
     )
@@ -358,7 +430,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-≤3 pairs (rows-only: xxhash64 bit math)."""
+    """SimHash Hamming-≤3 pairs over the 60-bit md5-derived fingerprint —
+    fully replayed by the DuckDB oracle (same bit math)."""
     return dedup.simhash_pairs(
         _docs(spark, sf_dir), max_hamming=3, text_col="text"
     ).orderBy("id_a", "id_b")
@@ -380,24 +453,40 @@ def q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+LSH_PAIRS_THRESHOLD = 0.45
+IVF_QUERY_ID, IVF_CENTROIDS, IVF_NPROBE, IVF_K = 7, 8, 3, 10
+
+
 def q_emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded random-hyperplane LSH near-dup pairs, exact-verified (rows-
-    only: hyperplane hashing isn't DuckDB-replicable; no-false-positive +
-    recall properties pinned in tests/test_lsh_pairs.py)."""
+    """Banded random-hyperplane LSH near-dup pairs, exact-verified. The
+    sign bits are integer-quantized projections (similarity.QUANT) so the
+    DuckDB oracle replays the exact candidate set; no-false-positive +
+    recall properties additionally pinned in tests/test_lsh_pairs.py."""
     emb = _emb(spark, sf_dir)
     dim = len(emb.select("embedding").first()["embedding"])
-    pairs = similarity.lsh_cosine_pairs(emb, threshold=0.45, dim=dim)
+    pairs = similarity.lsh_cosine_pairs(emb, threshold=LSH_PAIRS_THRESHOLD, dim=dim)
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     ).orderBy("id_a", "id_b")
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (rows-only: centroid pruning is the point;
-    exactness-within-probed-clusters is pinned in tests/test_similarity.py)."""
+    """IVF approximate top-k over a MATERIALIZED index: the build step
+    writes the assignment cluster-partitioned (one-time cost); the query
+    plan is partition-pruned scan of the probed clusters + partial top-k —
+    no per-query assignment. Oracle replays centroid choice, assignment and
+    probing in SQL."""
     emb = _emb(spark, sf_dir)
-    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
-    top = similarity.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3)
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == IVF_QUERY_ID).collect()[0]["embedding"]
+    ]
+    assigned, cents = similarity.build_ivf_index(emb, n_centroids=IVF_CENTROIDS)
+    index_dir = tempfile.mkdtemp(prefix="goprowl_ivf_")
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(index_dir)
+    index = spark.read.parquet(index_dir)
+    probe = similarity.probe_clusters(cents, qv, nprobe=IVF_NPROBE)
+    top = similarity.ivf_topk_indexed(index, probe, qv, k=IVF_K)
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -530,6 +619,220 @@ ORDER BY id_a, id_b
 """
 
 
+def _shingle_cte(df_cap: int | None) -> str:
+    """Shared shingle/sizes CTE fragment (3-word shingles, optional
+    stop-shingle cap) — mirrors dedup.shingle_postings exactly."""
+    cap = (
+        f"""
+sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= {df_cap}
+),"""
+        if df_cap is not None
+        else """
+sh AS (SELECT doc_id, shingle FROM sh_all),"""
+    )
+    return (
+        """toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                     t -> t <> '') AS arr
+  FROM documents
+),
+sh_all AS (
+  SELECT DISTINCT doc_id, array_to_string(arr[g:g+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(arr) - 2, 0))) t(g)
+),"""
+        + cap
+        + """
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+    )
+
+
+def _minhash_oracle(k: int = 64, bands: int = 16) -> str:
+    """Replay of dedup.minhash_lsh_pairs: same h60 base hash, same LCG
+    permutation constants, same band keys, same exact-Jaccard verify."""
+    P = dedup.MINHASH_PRIME
+    r = k // bands
+    perm_values = ", ".join(
+        f"({p}, {a}, {b})" for p, (a, b) in enumerate(dedup.perm_params(k))
+    )
+    return f"""
+WITH {_shingle_cte(None)},
+hs AS (
+  SELECT doc_id, {dedup.h60_sql('shingle')} % {P} AS h FROM sh
+),
+perms(p, a, b) AS (VALUES {perm_values}),
+sig AS (
+  SELECT doc_id, p, min((h * a + b) % {P}) AS v
+  FROM hs CROSS JOIN perms GROUP BY doc_id, p
+),
+bandkeys AS (
+  SELECT doc_id, CAST(p // {r} AS INT) AS band,
+         string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS band_key
+  FROM sig GROUP BY doc_id, p // {r}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkeys a JOIN bandkeys b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """Replay of dedup.simhash_pairs: 60-bit md5 fingerprint, 4×15-bit
+    pigeonhole blocks, Hamming via bit_count(xor)."""
+    bits = dedup.SIMHASH_BITS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                              t -> t <> '')) AS term
+    FROM documents
+  ) GROUP BY doc_id, term
+),
+h AS (SELECT doc_id, tf, {dedup.h60_sql('term')} AS h FROM toks),
+bitsums AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h CROSS JOIN range({bits}) t(b)
+  GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash
+  FROM bitsums GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, simhash, CAST(b AS INT) AS block,
+         (simhash >> (CAST(b AS INT) * 15)) & 32767 AS block_key
+  FROM fp CROSS JOIN range(4) t(b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM blocks a JOIN blocks b USING (block, block_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+def _emb_lsh_pairs_oracle(bands: int = 8, planes_per_band: int = 6) -> str:
+    """Replay of similarity.lsh_cosine_pairs: integer-quantized sign bits
+    (floor(y·QUANT), ±1 arithmetic planes), banded candidate join, exact
+    cosine verify. All signature math is BIGINT — bit-identical engines."""
+    n_planes = bands * planes_per_band
+    q = similarity.QUANT
+    return f"""
+WITH ev AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS y,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+evq AS (SELECT vec_id, i, CAST(floor(y * {q}) AS BIGINT) AS qy FROM ev),
+planes AS (
+  SELECT CAST(p AS INT) AS p, CAST(u.j AS INT) AS j,
+         CASE WHEN ((p*31 + u.j*17 + (p*u.j) % 13) % 2) = 0 THEN 1 ELSE -1 END AS s
+  FROM range({n_planes}) t(p), (SELECT DISTINCT i - 1 AS j FROM ev) u
+),
+proj AS (
+  SELECT e.vec_id, pl.p, sum(e.qy * pl.s) AS d
+  FROM evq e JOIN planes pl ON pl.j = e.i - 1
+  GROUP BY e.vec_id, pl.p
+),
+bandkeys AS (
+  SELECT vec_id, CAST(p // {planes_per_band} AS INT) AS band,
+         sum(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << (p % {planes_per_band})) ELSE 0 END) AS band_key
+  FROM proj GROUP BY vec_id, p // {planes_per_band}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bandkeys a JOIN bandkeys b USING (band, band_key)
+  WHERE a.vec_id < b.vec_id
+),
+sims AS (
+  SELECT c.id_a, c.id_b, sum(a.y * b.y) AS dot,
+         sqrt(sum(a.y * a.y)) AS na, sqrt(sum(b.y * b.y)) AS nb
+  FROM cand c
+  JOIN ev a ON a.vec_id = c.id_a
+  JOIN ev b ON b.vec_id = c.id_b AND b.i = a.i
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, round(dot / (na * nb), 6) AS cosine
+FROM sims WHERE dot / (na * nb) >= {LSH_PAIRS_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def _emb_ivf_topk_oracle() -> str:
+    """Replay of the IVF gate: centroids = the n_centroids lowest-id
+    vectors (cid = rank), assignment = argmax cosine (tie → lowest cid),
+    probe = nprobe centroids nearest the query, exact scoring inside the
+    probed clusters only."""
+    return f"""
+WITH ev AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS y,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+cent_ids AS (
+  SELECT vec_id AS cvid, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+  FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+cents AS (SELECT cid, i, y FROM cent_ids JOIN ev ON ev.vec_id = cvid),
+vnorm AS (SELECT vec_id, sqrt(sum(y*y)) AS nv FROM ev GROUP BY vec_id),
+cnorm AS (SELECT cid, sqrt(sum(y*y)) AS nc FROM cents GROUP BY cid),
+sims AS (
+  SELECT e.vec_id, c.cid, sum(e.y * c.y) / (vn.nv * cn.nc) AS cos
+  FROM ev e JOIN cents c USING (i)
+  JOIN vnorm vn ON vn.vec_id = e.vec_id
+  JOIN cnorm cn ON cn.cid = c.cid
+  GROUP BY e.vec_id, c.cid, vn.nv, cn.nc
+),
+assign AS (
+  SELECT vec_id, cid FROM sims
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) = 1
+),
+qv AS (SELECT i, y FROM ev WHERE vec_id = {IVF_QUERY_ID}),
+qn AS (SELECT sqrt(sum(y*y)) AS n FROM qv),
+probe AS (
+  SELECT c.cid
+  FROM cents c JOIN qv USING (i) JOIN cnorm cn ON cn.cid = c.cid
+  GROUP BY c.cid, cn.nc
+  ORDER BY sum(c.y * qv.y) / ((SELECT n FROM qn) * cn.nc) DESC, c.cid ASC
+  LIMIT {IVF_NPROBE}
+),
+scored AS (
+  SELECT e.vec_id, sum(e.y * q.y) / (vn.nv * (SELECT n FROM qn)) AS cosine
+  FROM ev e JOIN qv q USING (i)
+  JOIN vnorm vn ON vn.vec_id = e.vec_id
+  WHERE e.vec_id IN (SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probe))
+  GROUP BY e.vec_id, vn.nv
+)
+SELECT vec_id, round(cosine, 6) AS cosine
+FROM scored ORDER BY cosine DESC, vec_id ASC
+LIMIT {IVF_K}
+"""
+
+
 def _jaccard_oracle() -> str:
     return f"""
 WITH toks AS (
@@ -566,8 +869,32 @@ ORACLES: dict[str, str | None] = {
     "crawl_bfs_seen": corpus.bfs_oracle_sql(
         f"(SELECT count(*)*{CORPUS_MULT} FROM documents)", seed=0, max_depth=BFS_DEPTH
     ),
-    "crawl_budget_seen": None,
+    "crawl_budget_seen": corpus.budget_bfs_oracle_sql(
+        f"(SELECT count(*)*{CORPUS_MULT} FROM documents)",
+        seed=0,
+        max_depth=4,
+        budget=5,
+        rounds=12,
+    ),
     **{name: _search_oracle(q) for name, q in SEARCH_QUERIES.items()},
+    "search_boosted": f"""
+WITH scored AS (
+  SELECT doc_id,
+         round({gsearch.compile_score_sql(_processor_terms(), TITLE_SQL, 'text')}, 6) AS score
+  FROM documents
+)
+SELECT doc_id, score FROM scored
+WHERE score > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+""",
+    "metadata_filter": """
+SELECT doc_id, source, 'testdata' AS origin FROM documents
+WHERE lang = 'en' ORDER BY doc_id
+""",
+    "permission_filter": """
+SELECT doc_id FROM documents WHERE lang <> 'de' ORDER BY doc_id
+""",
     "search_facets": "SELECT lang AS value, count(*) AS count FROM documents GROUP BY lang ORDER BY value",
     "suggest_prefix": """
 SELECT DISTINCT term FROM (
@@ -650,12 +977,12 @@ SELECT min(doc_id) AS keep_id, md5(text) AS text_hash, count(*) AS dup_count
 FROM documents GROUP BY md5(text) ORDER BY text_hash
 """,
     "dedup_ngram_jaccard": _jaccard_oracle(),
-    "dedup_minhash": None,
-    "dedup_simhash": None,
+    "dedup_minhash": _minhash_oracle(),
+    "dedup_simhash": _simhash_oracle(),
     "emb_cosine_topk": _emb_cosine_topk_oracle(),
     "emb_cosine_pairs": _emb_cosine_pairs_oracle(),
-    "emb_ivf_topk": None,
-    "emb_lsh_pairs": None,
+    "emb_ivf_topk": _emb_ivf_topk_oracle(),
+    "emb_lsh_pairs": _emb_lsh_pairs_oracle(),
     "lang_id": textstats.lang_id_sql("documents", "doc_id", "text"),
     "token_counts": textstats.token_counts_sql("documents", "doc_id", "text"),
     "quality_scores": textstats.quality_scores_sql("documents", "doc_id", "text"),
@@ -668,6 +995,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "crawl_bfs_seen": q_crawl_bfs_seen,
         "crawl_budget_seen": q_crawl_budget_seen,
+        "search_boosted": q_search_boosted,
+        "metadata_filter": q_metadata_filter,
+        "permission_filter": q_permission_filter,
         "search_facets": q_search_facets,
         "suggest_prefix": q_suggest_prefix,
         "postings": q_postings,

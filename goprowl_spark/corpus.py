@@ -405,3 +405,76 @@ SELECT
 FROM seen
 ORDER BY url
 """
+
+
+def _url_sql(col: str) -> str:
+    """URL string of page index ``col`` as a SQL expression."""
+    return (
+        f"('https://h' || (CASE WHEN {col} % 10 < 3 THEN 0 "
+        f"ELSE 1 + ({col} % {N_HOSTS - 1}) END) || '.test/p/' || {col})"
+    )
+
+
+def budget_bfs_oracle_sql(
+    n_expr: str,
+    seed: int = 0,
+    max_depth: int = 4,
+    budget: int = 5,
+    rounds: int = 12,
+) -> str:
+    """DuckDB SQL replaying a politeness-BUDGETED crawl round-for-round.
+
+    The budgeted pop is iterative-stateful (top-``budget`` per host per
+    round by (priority desc ≡ depth asc, url asc); frontier carries the
+    remainder), which a recursive CTE cannot express directly — but the
+    round count is a fixed config, so the oracle UNROLLS the loop: one
+    (pop, cand, new, seen, frontier) CTE block per round, each pure integer
+    arithmetic over the synthetic graph. Mirrors crawl.crawl_round +
+    politeness.pop_batch semantics exactly: non-200 pages are popped but
+    not expanded; candidates take min-depth within a round; dedup is
+    against the cumulative seen set; depth cap applies at enqueue time.
+    """
+    host_id_sql = "(CASE WHEN i % 10 < 3 THEN 0 ELSE 1 + (i % 9) END)"
+    blocks = [
+        f"WITH params AS (SELECT {n_expr} AS n)",
+        f"r0_seen(i, depth) AS (SELECT CAST({seed} AS BIGINT), 0)",
+        f"r0_frontier(i, depth) AS (SELECT CAST({seed} AS BIGINT), 0)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        blocks.append(f"""r{r}_pop AS MATERIALIZED (
+  SELECT i, depth FROM r{p}_frontier
+  QUALIFY row_number() OVER (
+    PARTITION BY {host_id_sql}
+    ORDER BY depth ASC, {_url_sql('i')} ASC
+  ) <= {budget}
+)""")
+        blocks.append(f"""r{r}_cand AS MATERIALIZED (
+  SELECT t AS i, min(depth) AS depth FROM (
+    SELECT (pp.i*7 + j.j*13 + 1) % pa.n AS t, pp.depth + 1 AS depth
+    FROM r{r}_pop pp, range({MAX_DEG}) j(j), params pa
+    WHERE j.j < 2 + (pp.i % 3)
+      AND pp.i % 97 <> 33 AND pp.i % 131 <> 57
+      AND pp.depth + 1 <= {max_depth}
+  ) GROUP BY t
+)""")
+        blocks.append(f"""r{r}_new AS MATERIALIZED (
+  SELECT c.i, c.depth FROM r{r}_cand c
+  WHERE NOT EXISTS (SELECT 1 FROM r{p}_seen s WHERE s.i = c.i)
+)""")
+        blocks.append(
+            f"r{r}_seen AS MATERIALIZED (SELECT i, depth FROM r{p}_seen"
+            f" UNION ALL SELECT i, depth FROM r{r}_new)"
+        )
+        blocks.append(f"""r{r}_frontier AS MATERIALIZED (
+  SELECT f.i, f.depth FROM r{p}_frontier f
+  WHERE NOT EXISTS (SELECT 1 FROM r{r}_pop pp WHERE pp.i = f.i)
+  UNION ALL SELECT i, depth FROM r{r}_new
+)""")
+    return (
+        ",\n".join(blocks)
+        + f"""
+SELECT {_url_sql('i')} AS url, CAST(depth AS INT) AS depth
+FROM r{rounds}_seen ORDER BY url
+"""
+    )

@@ -43,6 +43,10 @@ class CrawlConfig:
     use_bloom: bool = True
     n_buckets: int = seen_filter.DEFAULT_N_BUCKETS
     bits_per_bucket: int = seen_filter.DEFAULT_BITS_PER_BUCKET
+    # Bloom commits are per-round DELTAS (only touched buckets, latest
+    # generation wins on read); every this-many rounds a compaction
+    # rewrites the full table to bound read amplification
+    bloom_compact_every: int = 8
     salt: int = 16
     # fetch batches at or below this many URLs broadcast into the corpus
     # join (so page payloads never shuffle); larger batches fall back to a
@@ -171,7 +175,10 @@ class CrawlEngine:
                           candidates → Bloom+anti-join dedup → append write
           3. frontier   — remainder ∪ new entries (skipped arithmetic-empty
                           remainder when the pop is unbudgeted)
-          4. seen_bloom — touched bucket blobs rewritten
+          4. seen_bloom — delta of touched buckets appended (latest gen
+                          wins on read; full rewrite only on compaction
+                          rounds), produced by the SAME fused cogroup pass
+                          as the probe — no second Python/Arrow pass
           5. lineage    — per-partition row counters (north_star)
           6. metrics    — the round's counter row (from the observations)
 
@@ -307,12 +314,38 @@ class CrawlEngine:
         candidates = candidates.observe(obs_cand, F.count(F.lit(1)).alias("n"))
 
         # P4/J1/U7: Bloom-pruned exact dedup; wave 2 writes the seen delta.
+        # Probe and update run as ONE fused cogroup pass (probe_and_update):
+        # the round pays a single candidates shuffle-by-bucket and a single
+        # Python/Arrow pass for both the membership test and the blob
+        # delta, instead of the two passes the split design cost.
+        fused = None
+        if cfg.use_bloom:
+            compact = (
+                cfg.bloom_compact_every > 0 and r % cfg.bloom_compact_every == 0
+            )
+            fused = seen_filter.probe_and_update(
+                candidates,
+                blooms,
+                cfg.n_buckets,
+                cfg.bits_per_bucket,
+                gen=r,
+                emit_untouched=compact,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            probed = fused.where(F.col("filter_blob").isNull())
+            cand_cols = ["url", "url_hash", "host", "depth"]
+            fresh = probed.where(~F.col("maybe_seen")).select(*cand_cols)
+            maybe = probed.where(F.col("maybe_seen")).select(*cand_cols)
+            unseen = fresh.unionByName(
+                maybe.join(seen, on=["url_hash", "url"], how="left_anti")
+            )
+        else:
+            compact = False
+            unseen = candidates.join(
+                seen, on=["url_hash", "url"], how="left_anti"
+            )
         obs_new = Observation(f"new_r{r}_{sid}")
         new_entries = (
-            seen_filter.filter_unseen(
-                candidates, seen, blooms, cfg.n_buckets, cfg.bits_per_bucket
-            )
-            .select(
+            unseen.select(
                 "url",
                 "url_hash",
                 "host",
@@ -402,14 +435,12 @@ class CrawlEngine:
         tail = [(frontier_path, new_frontier), (lineage_path, lineage_df),
                 (metrics_path, metrics_df)]
         if bloom_path is not None:
-            tail.append(
-                (
-                    bloom_path,
-                    seen_filter.update_blooms(
-                        blooms, new_entries, cfg.n_buckets, cfg.bits_per_bucket
-                    ),
-                )
+            # the blob rows of the fused pass ARE this round's bloom delta
+            # (only touched buckets; full set on compaction rounds)
+            bloom_delta = fused.where(F.col("filter_blob").isNotNull()).select(
+                F.col("__bucket").alias("bucket"), "filter_blob", "n_items", "gen"
             )
+            tail.append((bloom_path, bloom_delta))
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=len(tail)) as pool:
@@ -421,17 +452,22 @@ class CrawlEngine:
         mark("tail_writes")
 
         tables = {"frontier": frontier_path}
+        appends = {
+            "documents": docs_path,
+            "seen": seen_path,
+            "crawl_metrics": metrics_path,
+            "partition_lineage": lineage_path,
+        }
         if bloom_path is not None:
-            tables["seen_bloom"] = bloom_path
+            # delta append per round; table replace on compaction rounds
+            if compact:
+                tables["seen_bloom"] = bloom_path
+            else:
+                appends["seen_bloom"] = bloom_path
         self.catalog.commit_staged(
             sid,
             tables=tables,
-            appends={
-                "documents": docs_path,
-                "seen": seen_path,
-                "crawl_metrics": metrics_path,
-                "partition_lineage": lineage_path,
-            },
+            appends=appends,
             properties={
                 "round": r,
                 "seen_count": n_seen,
@@ -446,6 +482,7 @@ class CrawlEngine:
                 + " ".join(f"{k}={v}" for k, v in marks),
                 file=sys.stderr,
             )
-        for df in (popped, new_entries):
-            df.unpersist()
+        for df in (popped, new_entries, fused):
+            if df is not None:
+                df.unpersist()
         return True

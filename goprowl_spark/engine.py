@@ -24,6 +24,9 @@ from goprowl_spark.store import DocumentStore
 class SearchStats:
     document_count: int
     last_indexed_snapshot: int | None
+    # SearchStats.IndexSize (engine/types.go:60-64): bytes of the current
+    # documents table's data files
+    index_size_bytes: int = 0
 
 
 class GoProwlSearchEngine:
@@ -33,10 +36,21 @@ class GoProwlSearchEngine:
 
     # ------------------------------------------------------------ indexing
 
-    def index(self, doc_id: str, title: str, content: str, doc_type: str = "webpage") -> None:
+    def index(
+        self,
+        doc_id: str,
+        title: str,
+        content: str,
+        doc_type: str = "webpage",
+        metadata: dict[str, str] | None = None,
+        permission_read: list[str] | None = None,
+        permission_write: list[str] | None = None,
+    ) -> None:
         """Index one document (reference Index, basic_search.go:139-199;
         empty-field guard P8 at :174-182 — empty title/content still stored,
-        matching the storage write there)."""
+        matching the storage write there). ``metadata`` is the arbitrary
+        per-doc bag (storage/types.go:15); permissions per
+        engine/types.go:69-81 (None = public)."""
         df = self.spark.createDataFrame(
             [
                 (
@@ -47,6 +61,9 @@ class GoProwlSearchEngine:
                     doc_type,
                     None,
                     None,
+                    metadata,
+                    permission_read,
+                    permission_write,
                 )
             ],
             schemas.DOCUMENTS,
@@ -77,10 +94,21 @@ class GoProwlSearchEngine:
         page: int = 1,
         size: int = 10,
         strict: bool = False,
+        read_role: str | None = None,
     ) -> DataFrame:
+        """``read_role``: enforce document read permissions
+        (engine/types.go:69-81) — only docs that are public (null/empty
+        permission_read) or grant the role are searched."""
+        docs = self.store.get_all()
+        if read_role is not None:
+            public = F.col("permission_read").isNull() | (
+                F.size("permission_read") == 0
+            )
+            docs = docs.where(
+                public | F.array_contains("permission_read", read_role)
+            )
         return gsearch.search(
-            self.store.get_all(), query, filters=filters, page=page, size=size,
-            strict=strict,
+            docs, query, filters=filters, page=page, size=size, strict=strict,
         )
 
     def get_total_results(self, query: str) -> int:
@@ -113,4 +141,5 @@ class GoProwlSearchEngine:
         return SearchStats(
             document_count=self.store.get_all().count(),
             last_indexed_snapshot=self.store.catalog.latest(),
+            index_size_bytes=self.store.table_size_bytes(),
         )

@@ -123,17 +123,58 @@ def jaccard_pairs(
 
 # ------------------------------------------------------------ minhash + lsh
 
-def minhash_signature(text_col, k: int = 64):
-    """k-permutation MinHash over word 3-shingles, entirely JVM-side:
-    permutation p's hash of shingle s is xxhash64(concat(s, '#', p)); the
-    signature element is the min over shingles (empty docs → null)."""
-    sh = word_shingles(text_col, 3)
-    ps = F.sequence(F.lit(0), F.lit(k - 1))
-    return F.transform(
-        ps,
-        lambda p: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(F.concat(s, F.lit("#"), p.cast("string"))))
-        ),
+# MinHash universe: 60-bit md5-derived base hash reduced mod a Mersenne
+# prime, permuted by (a·h + b) mod P. md5 (not xxhash64) so the DuckDB
+# correctness oracle recomputes signatures EXACTLY; the permutations are
+# integer arithmetic both engines evaluate identically (products stay
+# < 2^62, no overflow).
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def h60(col):
+    """Deterministic 60-bit hash both Spark and DuckDB can compute: the
+    first 15 hex chars of md5 as a BIGINT (always non-negative)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def perm_params(k: int) -> list[tuple[int, int]]:
+    """k deterministic (a, b) permutation constants in [1, P) via a fixed
+    LCG — no RNG state, reproducible everywhere (embedded in oracle SQL)."""
+    out, x = [], 1
+    for _ in range(k):
+        x = (1103515245 * x + 12345) % MINHASH_PRIME
+        a = x or 1
+        x = (1103515245 * x + 12345) % MINHASH_PRIME
+        out.append((a, x))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 64, n: int = 3,
+) -> DataFrame:
+    """(doc_id, sig: array<long>[k]) — MinHash over word n-shingles.
+
+    Plan shape: explode shingles → hash each ONCE (md5 is the expensive
+    step) → k arithmetic permutations as k min-aggregates. Partial (map-
+    side) aggregation collapses to one row per doc per partition before the
+    single shuffle; docs with no shingles produce no row."""
+    P = MINHASH_PRIME
+    hs = shingle_postings(df, id_col, text_col, n).select(
+        "doc_id", F.pmod(h60(F.col("shingle")), F.lit(P)).alias("h")
+    )
+    aggs = [
+        F.min(F.pmod(F.col("h") * a + b, F.lit(P))).alias(f"__m{p}")
+        for p, (a, b) in enumerate(perm_params(k))
+    ]
+    return (
+        hs.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.array(*[f"__m{p}" for p in range(k)]).alias("sig"))
     )
 
 
@@ -147,19 +188,17 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification.
 
-    Banding: k/bands rows per band; docs colliding on any band's hashed
+    Banding: k/bands rows per band; docs colliding on any band's
     sub-signature become candidates (bucket equi-join — the only shuffle
     that matters; at 10^10 docs the band table is bucketed on band_key).
     Candidates are then verified with exact n-gram Jaccard so the output
     contains no false positives; recall is the standard LSH S-curve
-    1-(1-j^r)^b.
+    1-(1-j^r)^b. Signatures are md5-derived (see MINHASH_PRIME note) so the
+    DuckDB oracle replays the whole pipeline value-for-value.
     Returns (id_a, id_b, jaccard) — verified pairs.
     """
     r = k // bands
-    sig = df.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(F.col(text_col), k).alias("sig"),
-    ).where(F.element_at("sig", 1).isNotNull())
+    sig = minhash_signatures(df, id_col, text_col, k)
     band_rows = sig.select(
         "doc_id",
         F.explode(
@@ -167,14 +206,12 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("sig", b * r + 1, r),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("sig", b * r + 1, r),
+                            lambda x: x.cast("string"),
+                        ),
                     ).alias("band_key"),
                 ),
             )
@@ -219,11 +256,19 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------------------------ simhash
 
+SIMHASH_BITS = 60  # the md5-derived base hash carries 60 bits (h60)
+
+
 def simhash_df(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash) — per-bit majority vote of token-hash bits weighted by
-    term frequency. Three narrow shuffles, all JVM-side."""
+    """(id, simhash) — per-bit majority vote of term-hash bits weighted by
+    term frequency, over the 60-bit md5 hash (DuckDB-replicable, see h60).
+
+    Plan shape: one (doc, term, tf) aggregate, then the 60 per-bit weight
+    sums as 60 agg columns on a second groupBy — partial aggregation
+    collapses map-side, so there is no 60× row explosion and exactly two
+    narrow shuffles, all JVM-side."""
     toks = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -233,38 +278,26 @@ def simhash_df(
         )
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", F.xxhash64("term"))
+        .withColumn("h", h60(F.col("term")))
     )
-    bits = toks.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("bit"),
-                        (
-                            F.when(
-                                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                                F.col("tf"),
-                            ).otherwise(-F.col("tf"))
-                        ).alias("w"),
-                    )
-                    for b in range(64)
-                ]
-            )
-        ).alias("bw"),
-    ).select("doc_id", "bw.bit", "bw.w")
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf")
+            ).otherwise(-F.col("tf"))
+        ).alias(f"__s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    fingerprint = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"__s{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
     return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("w").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
+        toks.groupBy("doc_id")
+        .agg(*bit_sums)
+        .select("doc_id", fingerprint.alias("simhash"))
     )
 
 
@@ -274,7 +307,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, using 4×16-bit
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, using 4×15-bit
     block keys: by pigeonhole any pair within distance ≤3 agrees on at
     least one block, so the blocked equi-join loses nothing (standard
     SimHash sharding; at scale each block key is a bucketed join key).
@@ -288,8 +321,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("block"),
-                        F.shiftright(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), b * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("block_key"),
                     )
                     for b in range(4)

@@ -128,19 +128,29 @@ def deterministic_centroids(
     return [(j, [float(x) for x in r["v"]]) for j, r in enumerate(rows)]
 
 
-def ivf_topk(
+def build_ivf_index(
     embeddings: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
     n_centroids: int = 8,
-    nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF approximate top-k: score only vectors whose cluster is among the
-    ``nprobe`` centroids nearest the query. The cluster filter prunes the
-    scan (on a partitioned table it becomes partition pruning)."""
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """The IVF BUILD step — run once, materialize the result.
+
+    Returns (assigned, centroids): ``assigned`` is (vec_id, embedding,
+    cluster). At scale you write it ``partitionBy("cluster")`` (or make
+    cluster an Iceberg partition key) so every query's cluster filter
+    becomes partition pruning — queries never re-assign vectors."""
     cents = deterministic_centroids(embeddings, n_centroids, id_col, vec_col)
+    return assign_clusters(embeddings, cents, id_col, vec_col), cents
+
+
+def probe_clusters(
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    nprobe: int,
+) -> list[int]:
+    """The ``nprobe`` centroid ids nearest the query (cosine; ties → lowest
+    id). Driver-side math over the tiny centroid list."""
     qn = math.sqrt(sum(float(x) ** 2 for x in query_vec))
 
     def cos_q(c: list[float]) -> float:
@@ -148,9 +158,19 @@ def ivf_topk(
         d = sum(float(x) * float(y) for x, y in zip(query_vec, c))
         return d / (qn * cn) if qn and cn else -1.0
 
-    probe = sorted(cents, key=lambda t: (-cos_q(t[1]), t[0]))[:nprobe]
-    probe_ids = [cid for cid, _ in probe]
-    assigned = assign_clusters(embeddings, cents, id_col, vec_col)
+    return [cid for cid, _ in sorted(centroids, key=lambda t: (-cos_q(t[1]), t[0]))[:nprobe]]
+
+
+def ivf_topk_indexed(
+    assigned: DataFrame,
+    probe_ids: list[int],
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """The IVF QUERY step over a prebuilt index: filter to the probed
+    clusters (partition pruning on a cluster-partitioned table), score,
+    partial top-k. No assignment work per query."""
+    qn = math.sqrt(sum(float(x) ** 2 for x in query_vec))
     sim = dot(F.col("embedding").cast("array<double>"), _lit_vec(query_vec)) / (
         norm(F.col("embedding")) * F.lit(qn)
     )
@@ -162,21 +182,64 @@ def ivf_topk(
     )
 
 
-def _plane_component(p: int, j: int) -> float:
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Convenience build+query composition (tests / one-shot use). Real
+    deployments call :func:`build_ivf_index` once, persist the assignment
+    cluster-partitioned, and serve queries with :func:`ivf_topk_indexed`."""
+    assigned, cents = build_ivf_index(embeddings, n_centroids, id_col, vec_col)
+    return ivf_topk_indexed(
+        assigned, probe_clusters(cents, query_vec, nprobe), query_vec, k
+    )
+
+
+def _plane_component(p: int, j: int) -> int:
     """Deterministic pseudo-random ±1 plane components (arithmetic, no RNG)."""
-    return 1.0 if ((p * 31 + j * 17 + (p * j) % 13) % 2) == 0 else -1.0
+    return 1 if ((p * 31 + j * 17 + (p * j) % 13) % 2) == 0 else -1
+
+
+# Sign bits are computed over integer-QUANTIZED embeddings: q_j =
+# floor(y_j · 10^6). With ±1 planes the projection is then pure BIGINT
+# arithmetic — order-independent and bit-for-bit identical in Spark,
+# Python and DuckDB (float summation order can flip a sign at the last
+# ulp; integers cannot), so the correctness oracle replays the exact
+# candidate set. 10^6 resolution keeps |Σ| < 2^40 at dim ≤ 4096.
+QUANT = 1_000_000
+
+
+def _quantized(vec_col: Column) -> Column:
+    return F.transform(
+        vec_col, lambda y: F.floor(y.cast("double") * QUANT).cast("long")
+    )
 
 
 def lsh_signature_col(
     vec_col: Column, dim: int, n_planes: int, plane_offset: int = 0
 ) -> Column:
-    """Sign-of-projection bits packed into a long, all column algebra."""
+    """Sign-of-quantized-projection bits packed into a long, all column
+    algebra (no UDF)."""
+    q = _quantized(vec_col)
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         plane = F.array(
-            *[F.lit(_plane_component(p + plane_offset, j)) for j in range(dim)]
+            *[
+                F.lit(_plane_component(p + plane_offset, j)).cast("long")
+                for j in range(dim)
+            ]
         )
-        bit = F.when(dot(vec_col.cast("array<double>"), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        proj = F.aggregate(
+            F.zip_with(q, plane, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
         sig = sig + F.shiftleft(bit.cast("long"), p)
     return sig
 
@@ -195,7 +258,10 @@ def lsh_bucket_topk(
     dim = len(query_vec)
     qsig = 0
     for p in range(n_planes):
-        d = sum(_plane_component(p, j) * float(query_vec[j]) for j in range(dim))
+        d = sum(
+            _plane_component(p, j) * math.floor(float(query_vec[j]) * QUANT)
+            for j in range(dim)
+        )
         qsig |= (1 if d >= 0 else 0) << p
     qn = math.sqrt(sum(float(x) ** 2 for x in query_vec))
     sim = dot(F.col(vec_col).cast("array<double>"), _lit_vec(query_vec)) / (

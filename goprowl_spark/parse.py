@@ -140,6 +140,10 @@ def with_document_columns(fetched: DataFrame, round_no: int) -> DataFrame:
     )["text"]
     texts = F.filter(spans, lambda s: s["text"] != F.lit(""))
     content = F.array_join(F.transform(texts, lambda s: s["text"]), " ")
+    links = F.transform(
+        F.filter(spans, lambda s: s["kind"] == F.lit("link")),
+        lambda s: s["media_ref"],
+    )
     return (
         fetched.where(F.col("status") == 200)
         .withColumn("spans", parse_spans_udf(F.col("html"), F.col("url")))
@@ -151,6 +155,14 @@ def with_document_columns(fetched: DataFrame, round_no: int) -> DataFrame:
             F.lit("webpage").alias("doc_type"),
             F.xxhash64(content).alias("content_hash"),
             F.lit(round_no).cast("int").alias("fetched_round"),
+            # the reference adapter stores the links list in metadata
+            # (adapters/storage/adapter.go:42-72); map<string,string> per
+            # SURVEY §1, so the list is space-joined
+            F.create_map(
+                F.lit("links"), F.array_join(links, " ")
+            ).alias("metadata"),
+            F.lit(None).cast("array<string>").alias("permission_read"),
+            F.lit(None).cast("array<string>").alias("permission_write"),
         )
     )
 

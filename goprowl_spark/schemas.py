@@ -23,6 +23,10 @@ SPAN = T.StructType(
 # Canonical stored document (reference: search/storage/types.go:10-17 via
 # the input_hint interleaved shape). fetched_round replaces the wall-clock
 # CreatedAt (determinism: no wall clock in data paths).
+# metadata: the reference's arbitrary per-doc bag (storage/types.go:15;
+# the adapter stuffs links into it, adapters/storage/adapter.go:42-72).
+# permission_read/write: the Document permission roles
+# (engine/types.go:69-81); empty/null = public.
 DOCUMENTS = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
@@ -32,6 +36,11 @@ DOCUMENTS = T.StructType(
         T.StructField("doc_type", T.StringType(), True),
         T.StructField("content_hash", T.LongType(), True),
         T.StructField("fetched_round", T.IntegerType(), True),
+        T.StructField(
+            "metadata", T.MapType(T.StringType(), T.StringType()), True
+        ),
+        T.StructField("permission_read", T.ArrayType(T.StringType()), True),
+        T.StructField("permission_write", T.ArrayType(T.StringType()), True),
     ]
 )
 
@@ -58,12 +67,17 @@ SEEN = T.StructType(
     ]
 )
 
-# Per-bucket Bloom filter blobs over seen url_hash values.
+# Per-bucket Bloom filter blobs over seen url_hash values. Commits are
+# DELTAS: a round appends only the buckets it touched, stamped with a
+# generation (= round); readers resolve latest-generation-wins per bucket.
+# Periodic compaction (CrawlConfig.bloom_compact_every) rewrites the full
+# table to bound read amplification.
 SEEN_BLOOM = T.StructType(
     [
         T.StructField("bucket", T.IntegerType(), False),
         T.StructField("filter_blob", T.BinaryType(), False),
         T.StructField("n_items", T.LongType(), False),
+        T.StructField("gen", T.IntegerType(), False),
     ]
 )
 

@@ -43,16 +43,28 @@ class QueryTerm:
     fuzziness: int = 0
     required: bool = False
     excluded: bool = False
+    # Term importance (processor.go:23). ParseQuery never sets it in the
+    # reference either — callers set it programmatically; the ranker's
+    # BoostScore multiplies it in (ranker.go:35-41). Default 1.0 (neutral)
+    # rather than Go's zero-value so scoring without a boost is unchanged.
+    boost: float = 1.0
 
 
-def parse_query(query_str: str) -> list[QueryTerm]:
-    """Token-level port of QueryProcessor.ParseQuery (query.go:31-120)."""
+def parse_query(query_str: str, processor: bool = False) -> list[QueryTerm]:
+    """Token-level port of QueryProcessor.ParseQuery. Two reference parsers
+    exist: the wired-in one (query.go:31-120, ``processor=False``) treats a
+    bare OR as an ordinary term; the richer engine/query/processor.go:34-119
+    (``processor=True``) consumes OR as a no-op operator (its :54-55 skip).
+    Everything else is token-identical between them."""
     tokens = query_str.split()
     out: list[QueryTerm] = []
     i = 0
     while i < len(tokens):
         tok = tokens[i]
         upper = tok.upper()
+        if processor and upper == "OR":
+            i += 1
+            continue
         if upper == "AND":
             if i + 1 < len(tokens):
                 i += 1
@@ -98,23 +110,26 @@ def parse_query(query_str: str) -> list[QueryTerm]:
 # ------------------------------------------------------------ spark compile
 
 def term_score_col(term: QueryTerm, title: Column, content: Column) -> Column:
-    """calculateRelevancy for one term (basic_search.go:242-289)."""
+    """calculateRelevancy for one term (basic_search.go:242-289), times the
+    term's Boost (processor.go:23 + BoostScore multiply, ranker.go:35-41)."""
     def hit(col: Column, needle: str, w: float, ci: bool) -> Column:
         c = F.lower(col) if ci else col
         n = needle.lower() if ci else needle
         return F.when(c.contains(F.lit(n)), F.lit(w)).otherwise(F.lit(0.0))
 
     if term.type == PHRASE:
-        return hit(title, term.text, 3.0, False) + hit(content, term.text, 2.0, False)
-    if term.type == FUZZY:
-        return hit(title, term.text, 2.0, False) + hit(content, term.text, 1.0, False)
-    if term.field == "title":
-        return hit(title, term.text, 2.0, True)
-    if term.field == "content":
-        return hit(content, term.text, 1.0, True)
-    if term.field:
-        return F.lit(0.0)
-    return hit(title, term.text, 2.0, True) + hit(content, term.text, 1.0, True)
+        raw = hit(title, term.text, 3.0, False) + hit(content, term.text, 2.0, False)
+    elif term.type == FUZZY:
+        raw = hit(title, term.text, 2.0, False) + hit(content, term.text, 1.0, False)
+    elif term.field == "title":
+        raw = hit(title, term.text, 2.0, True)
+    elif term.field == "content":
+        raw = hit(content, term.text, 1.0, True)
+    elif term.field:
+        raw = F.lit(0.0)
+    else:
+        raw = hit(title, term.text, 2.0, True) + hit(content, term.text, 1.0, True)
+    return raw if term.boost == 1.0 else raw * F.lit(term.boost)
 
 
 def term_match_col(term: QueryTerm, title: Column, content: Column) -> Column:
@@ -142,6 +157,8 @@ def search(
     title_col: str = "title",
     content_col: str = "content",
     type_col: str = "doc_type",
+    processor: bool = False,
+    terms: list[QueryTerm] | None = None,
 ) -> DataFrame:
     """The Search pipeline (basic_search.go:22-102): score → filters →
     score>0 → deterministic sort → offset/limit pagination.
@@ -153,7 +170,8 @@ def search(
     shuffle happens — only ≤page·size rows ever leave each partition.
     Returns (id, score) plus pass-through columns.
     """
-    terms = parse_query(query_str)
+    if terms is None:
+        terms = parse_query(query_str, processor=processor)
     title, content = F.col(title_col), F.col(content_col)
     score = compile_score(terms, title, content)
     df = documents.withColumn("score", score)
@@ -196,16 +214,18 @@ def term_score_sql(term: QueryTerm, title: str, content: str) -> str:
         return f"(CASE WHEN contains({c}, {_sql_quote(n)}) THEN {w} ELSE 0.0 END)"
 
     if term.type == PHRASE:
-        return f"({hit(title, term.text, 3.0, False)} + {hit(content, term.text, 2.0, False)})"
-    if term.type == FUZZY:
-        return f"({hit(title, term.text, 2.0, False)} + {hit(content, term.text, 1.0, False)})"
-    if term.field == "title":
-        return hit(title, term.text, 2.0, True)
-    if term.field == "content":
-        return hit(content, term.text, 1.0, True)
-    if term.field:
-        return "0.0"
-    return f"({hit(title, term.text, 2.0, True)} + {hit(content, term.text, 1.0, True)})"
+        raw = f"({hit(title, term.text, 3.0, False)} + {hit(content, term.text, 2.0, False)})"
+    elif term.type == FUZZY:
+        raw = f"({hit(title, term.text, 2.0, False)} + {hit(content, term.text, 1.0, False)})"
+    elif term.field == "title":
+        raw = hit(title, term.text, 2.0, True)
+    elif term.field == "content":
+        raw = hit(content, term.text, 1.0, True)
+    elif term.field:
+        raw = "0.0"
+    else:
+        raw = f"({hit(title, term.text, 2.0, True)} + {hit(content, term.text, 1.0, True)})"
+    return raw if term.boost == 1.0 else f"({raw} * {term.boost})"
 
 
 def compile_score_sql(terms: list[QueryTerm], title: str, content: str) -> str:
@@ -222,10 +242,13 @@ def search_oracle_sql(
     content_expr: str,
     page: int = 1,
     size: int = 10,
+    processor: bool = False,
+    terms: list[QueryTerm] | None = None,
 ) -> str:
     """ANSI SQL (DuckDB) equivalent of :func:`search` — same QueryTerm IR,
     same weights, same deterministic order, same pagination window."""
-    terms = parse_query(query_str)
+    if terms is None:
+        terms = parse_query(query_str, processor=processor)
     score = compile_score_sql(terms, title_expr, content_expr)
     start = (page - 1) * size
     return f"""

@@ -64,16 +64,32 @@ def _test_bits(blob: np.ndarray, hashes: np.ndarray, m_bits: int) -> np.ndarray:
     return bits.all(axis=0)
 
 
+def _latest_blob(blobs: pd.DataFrame) -> tuple[np.ndarray, int]:
+    """Resolve latest-generation-wins over a bucket's blob rows (delta
+    commits append one row per touched bucket per round)."""
+    row = blobs.loc[blobs["gen"].idxmax()]
+    return (
+        np.frombuffer(row["filter_blob"], dtype=np.uint8).copy(),
+        int(row["n_items"]),
+    )
+
+
 def update_blooms(
     seen_bloom: DataFrame,
     new_hashes: DataFrame,
     n_buckets: int = DEFAULT_N_BUCKETS,
     bits_per_bucket: int = DEFAULT_BITS_PER_BUCKET,
+    gen: int = 0,
+    emit_untouched: bool = False,
 ) -> DataFrame:
     """Merge newly-seen url hashes into their buckets' blobs.
 
-    ``seen_bloom``: schemas.SEEN_BLOOM; ``new_hashes``: any df with a
-    ``url_hash`` column. Only buckets receiving new hashes are rewritten.
+    ``seen_bloom``: schemas.SEEN_BLOOM (may hold several generations per
+    bucket; latest wins); ``new_hashes``: any df with a ``url_hash`` column.
+    Emits ONLY the touched buckets (a delta stamped ``gen``) unless
+    ``emit_untouched`` (compaction: every bucket re-emitted at ``gen`` so
+    the result replaces the table). ``n_items`` counts hashes inserted —
+    an upper bound on distinct members.
     """
     hashed = new_hashes.select(
         F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int").alias("bucket"),
@@ -81,21 +97,30 @@ def update_blooms(
     )
 
     def merge(key, blobs: pd.DataFrame, hashes: pd.DataFrame) -> pd.DataFrame:
-        if hashes.empty:
-            return blobs
+        empty = pd.DataFrame(
+            {
+                "bucket": pd.Series([], dtype="int32"),
+                "filter_blob": pd.Series([], dtype=object),
+                "n_items": pd.Series([], dtype="int64"),
+                "gen": pd.Series([], dtype="int32"),
+            }
+        )
+        if hashes.empty and not (emit_untouched and not blobs.empty):
+            return empty
         if blobs.empty:
             blob = np.zeros(bits_per_bucket >> 3, dtype=np.uint8)
             n = 0
         else:
-            blob = np.frombuffer(blobs["filter_blob"].iloc[0], dtype=np.uint8).copy()
-            n = int(blobs["n_items"].iloc[0])
+            blob, n = _latest_blob(blobs)
         arr = hashes["url_hash"].to_numpy(dtype=np.int64)
-        _set_bits(blob, arr, bits_per_bucket)
+        if len(arr):
+            _set_bits(blob, arr, bits_per_bucket)
         return pd.DataFrame(
             {
                 "bucket": [key[0]],
                 "filter_blob": [blob.tobytes()],
                 "n_items": [n + len(arr)],
+                "gen": [gen],
             }
         )
 
@@ -131,7 +156,7 @@ def probe_blooms(
             return cand.assign(maybe_seen=pd.Series([], dtype=bool))
         if blobs.empty:
             return cand.assign(maybe_seen=False)
-        blob = np.frombuffer(blobs["filter_blob"].iloc[0], dtype=np.uint8)
+        blob, _ = _latest_blob(blobs)
         arr = cand["url_hash"].to_numpy(dtype=np.int64)
         return cand.assign(maybe_seen=_test_bits(blob, arr, bits_per_bucket))
 
@@ -141,6 +166,95 @@ def probe_blooms(
         .applyInPandas(probe, schema=out_schema)
     )
     return probed.select(*cols, "maybe_seen")
+
+
+def probe_and_update(
+    candidates: DataFrame,
+    seen_bloom: DataFrame,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    bits_per_bucket: int = DEFAULT_BITS_PER_BUCKET,
+    gen: int = 0,
+    emit_untouched: bool = False,
+) -> DataFrame:
+    """Fused probe + update: ONE cogroup pass per round instead of two.
+
+    Emits two kinds of rows distinguished by ``filter_blob IS NULL``:
+
+    * candidate rows — original columns + ``maybe_seen`` (the probe);
+    * one blob row per touched bucket — the bucket's blob with ALL the
+      bucket's candidate hashes inserted, stamped ``gen``.
+
+    Inserting all candidates (not just the post-anti-join survivors) is
+    bit-identical to inserting only the new entries: a candidate either
+    survives the exact anti-join (would be inserted anyway) or is already
+    in the seen set (its bits were set when it was first seen — re-insert
+    is a no-op). Fusing removes the second candidates shuffle and the
+    second Python/Arrow pass the split probe→update design paid per round.
+
+    Callers persist the result and split it:
+        probed = fused.where(col("filter_blob").isNull())
+        blobs  = fused.where(col("filter_blob").isNotNull())
+    """
+    cols = candidates.columns
+    with_bucket = candidates.withColumn(
+        "__bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
+    )
+    out_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in with_bucket.schema.fields]
+        + [
+            T.StructField("maybe_seen", T.BooleanType(), True),
+            T.StructField("filter_blob", T.BinaryType(), True),
+            T.StructField("n_items", T.LongType(), True),
+            T.StructField("gen", T.IntegerType(), True),
+        ]
+    )
+    cand_cols = [f.name for f in with_bucket.schema.fields]
+
+    def fused(key, cand: pd.DataFrame, blobs: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        if blobs.empty:
+            blob, n = np.zeros(bits_per_bucket >> 3, dtype=np.uint8), 0
+            have_blob = False
+        else:
+            blob, n = _latest_blob(blobs)
+            have_blob = True
+        if not cand.empty:
+            arr = cand["url_hash"].to_numpy(dtype=np.int64)
+            seen_flags = (
+                _test_bits(blob, arr, bits_per_bucket)
+                if have_blob
+                else np.zeros(len(arr), dtype=bool)
+            )
+            out.append(
+                cand.assign(
+                    maybe_seen=seen_flags,
+                    filter_blob=None,
+                    n_items=pd.array([None] * len(cand), dtype="Int64"),
+                    gen=pd.array([None] * len(cand), dtype="Int32"),
+                )
+            )
+            _set_bits(blob, arr, bits_per_bucket)
+            n += len(arr)
+        if not cand.empty or (emit_untouched and have_blob):
+            blob_row = {c: [None] for c in cand_cols}
+            blob_row["__bucket"] = [key[0]]
+            blob_row["maybe_seen"] = [None]
+            blob_row["filter_blob"] = [blob.tobytes()]
+            blob_row["n_items"] = [n]
+            blob_row["gen"] = [gen]
+            out.append(pd.DataFrame(blob_row))
+        if not out:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in
+                 cand_cols + ["maybe_seen", "filter_blob", "n_items", "gen"]}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        with_bucket.groupBy("__bucket")
+        .cogroup(seen_bloom.groupBy("bucket"))
+        .applyInPandas(fused, schema=out_schema)
+    )
 
 
 def filter_unseen(

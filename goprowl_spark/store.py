@@ -65,3 +65,25 @@ class DocumentStore:
     def list(self) -> DataFrame:
         """List, deterministic order (reference order was bleve-internal)."""
         return self._docs().orderBy("doc_id")
+
+    def table_size_bytes(self) -> int:
+        """Bytes of the current documents table's data files (the
+        SearchStats.IndexSize analog, engine/types.go:60-64). On Iceberg
+        this is a snapshot-summary property; here a file walk."""
+        import os
+
+        manifest = self.catalog._read_manifest()
+        sid = manifest["current"]
+        if sid is None:
+            return 0
+        entry = manifest["snapshots"].get(str(sid), {"tables": {}})
+        paths = entry["tables"].get(TABLE)
+        if paths is None:
+            return 0
+        total = 0
+        for p in paths if isinstance(paths, list) else [paths]:
+            for root, _, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+        return total

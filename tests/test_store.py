@@ -16,6 +16,9 @@ def _doc(doc_id: str, title: str):
         "webpage",
         hash(title),
         1,
+        {"origin": "test"},
+        None,
+        None,
     )
 
 
