@@ -90,7 +90,10 @@ def _crawl_inprocess(cores: int) -> dict:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-    spark = get_spark(f"bench-crawl-{cores}", cores=cores, shuffle_partitions=cores)
+    mult = int(os.environ.get("BENCH_SHUFFLE_MULT", "1"))
+    spark = get_spark(
+        f"bench-crawl-{cores}", cores=cores, shuffle_partitions=cores * mult
+    )
 
     # warmup: a tiny crawl in the same session compiles the codegen, spins
     # up the Python workers and JIT-warms the JVM, so the measurement below
@@ -160,6 +163,11 @@ def run_queries() -> dict[str, float]:
         active.stop()
     spark = get_spark("bench-queries", cores=CPUS, shuffle_partitions=CPUS)
     qs = contract.queries()
+    # warmup: JIT/codegen + parquet reader + shuffle machinery, so the
+    # first timed query measures steady-state work, not session cold-start
+    spark.read.parquet(f"{SF_DIR}/region.parquet").groupBy(
+        "r_name"
+    ).count().collect()
     out: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -169,6 +177,48 @@ def run_queries() -> dict[str, float]:
         print(f"  {name}: {out[name]}s ({n} rows)", file=sys.stderr)
     spark.stop()
     return out
+
+
+def percore_speed_ratio(lo: int, hi: int) -> float:
+    """Measured single-core throughput penalty when ``hi`` cores are active
+    vs ``lo`` (same fixed per-process work, one pinned process per core).
+
+    On a single box, raising the active-core count lowers the sustained
+    clock (turbo/DVFS) — identical per-core work runs measurably slower.
+    A real N→4N-executor cluster adds MACHINES at constant clocks and does
+    not pay this, so the scaling efficiency is reported both raw and
+    normalized by this hardware ratio. Returns t_hi/t_lo (≥1 ⇒ penalty).
+    """
+    import subprocess
+    import tempfile as _tf
+
+    work = (
+        "import time,hashlib,sys\n"
+        "n=int(sys.argv[1]); t0=time.time(); x=b'x'\n"
+        "for i in range(n): x=hashlib.md5(x).digest()\n"
+        "print(time.time()-t0)\n"
+    )
+    with _tf.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(work)
+        path = f.name
+
+    def run(cores: int) -> float:
+        ps = [
+            subprocess.Popen(
+                ["taskset", "-c", str(i), sys.executable, path, "3000000"],
+                stdout=subprocess.PIPE,
+            )
+            for i in range(cores)
+        ]
+        return max(float(p.communicate()[0]) for p in ps)
+
+    try:
+        run(lo)  # warm
+        return round(run(hi) / run(lo), 3)
+    except FileNotFoundError:  # no taskset
+        return 1.0
+    finally:
+        os.unlink(path)
 
 
 def main() -> None:
@@ -182,6 +232,7 @@ def main() -> None:
     eff_steady = crawl_hi["steady_urls_per_sec"] / (
         ratio * crawl_lo["steady_urls_per_sec"]
     )
+    freq_penalty = percore_speed_ratio(SCALE_CORES_LO, SCALE_CORES_HI)
     queries = run_queries()
     result = {
         "metric": "headline_queries_total",
@@ -199,6 +250,13 @@ def main() -> None:
             "scaling_cores": [SCALE_CORES_LO, SCALE_CORES_HI],
             "scaling_efficiency": round(eff, 3),
             "scaling_efficiency_steady_round": round(eff_steady, 3),
+            # measured single-core slowdown with HI active cores vs LO
+            # (DVFS/turbo) — a multi-machine N→4N cluster does not pay it
+            "percore_freq_penalty": freq_penalty,
+            "scaling_efficiency_freq_normalized": round(eff * freq_penalty, 3),
+            "scaling_efficiency_steady_freq_normalized": round(
+                eff_steady * freq_penalty, 3
+            ),
         },
     }
     print(json.dumps(result))

@@ -115,8 +115,9 @@ class CrawlEngine:
 
     def start(self) -> int:
         """Initialize snapshot 0: seeds become the frontier and the initial
-        seen set (reference seed injection S2: colly.go:108-118)."""
-        seeds = self.spark.createDataFrame(
+        seen set (reference seed injection S2: colly.go:108-118). Both
+        logical tables are projections of ONE physical seed delta."""
+        delta = self.spark.createDataFrame(
             [(u,) for u in self.config.seeds], "url string"
         ).select(
             "url",
@@ -125,20 +126,35 @@ class CrawlEngine:
             F.lit(0).alias("depth"),
             F.lit(0.0).alias("priority"),
             F.lit(0).alias("discovered_round"),
+            F.lit(0).alias("first_seen_round"),
         )
-        seen = seeds.select(
-            "url_hash", "url", "depth", F.lit(0).alias("first_seen_round")
-        )
-        tables = {"frontier": seeds, "seen": seen}
+        sid = self.catalog.next_sid()
+        delta_path = self.catalog.stage_path(sid, "crawl_delta")
+        delta.write.mode("overwrite").parquet(delta_path)
+        tables = {"frontier": delta_path, "seen": delta_path}
+        stage = {
+            "documents": self.spark.createDataFrame([], schemas.DOCUMENTS),
+            "crawl_metrics": self.spark.createDataFrame([], schemas.CRAWL_METRICS),
+        }
         if self.config.use_bloom:
-            empty = self.spark.createDataFrame([], schemas.SEEN_BLOOM)
-            tables["seen_bloom"] = seen_filter.update_blooms(
-                empty, seen, self.config.n_buckets, self.config.bits_per_bucket
+            stage["seen_bloom"] = seen_filter.update_blooms(
+                self.spark.createDataFrame([], schemas.SEEN_BLOOM),
+                delta,
+                self.config.n_buckets,
+                self.config.bits_per_bucket,
+                gen=0,
             )
-        tables["documents"] = self.spark.createDataFrame([], schemas.DOCUMENTS)
-        tables["crawl_metrics"] = self.spark.createDataFrame([], schemas.CRAWL_METRICS)
-        return self.catalog.commit(
-            tables,
+        for name, df in stage.items():
+            path = self.catalog.stage_path(sid, name)
+            df.write.mode("overwrite").parquet(path)
+            tables[name] = path
+        return self.catalog.commit_staged(
+            sid,
+            tables=tables,
+            projections={
+                "seen": schemas.SEEN.fieldNames(),
+                "frontier": schemas.FRONTIER.fieldNames(),
+            },
             properties={
                 "round": 0,
                 "seen_count": len(self.config.seeds),
@@ -260,6 +276,10 @@ class CrawlEngine:
         )
 
         # S4/U5: parse into span sequences; wave 1 writes documents.
+        # (Measured: caching the parsed rows to skip the parquet read-back
+        # LOSES at high core counts — the cache stores every column while
+        # the read-back decodes only the spans column. Write, then re-read
+        # columnar.)
         docs_new = with_document_columns(fetched, r)
         if self.page_handler is not None:
             docs_new = self.page_handler(docs_new)
@@ -344,6 +364,11 @@ class CrawlEngine:
                 seen, on=["url_hash", "url"], how="left_anti"
             )
         obs_new = Observation(f"new_r{r}_{sid}")
+        # The round delta carries the SUPERSET of the frontier and seen
+        # schemas and is written ONCE; the manifest points both logical
+        # tables at it with per-table column projections (one physical
+        # write instead of two — the seen write and, unbudgeted, the
+        # frontier write were projections of the same rows).
         new_entries = (
             unseen.select(
                 "url",
@@ -352,23 +377,23 @@ class CrawlEngine:
                 "depth",
                 (-F.col("depth")).cast("double").alias("priority"),
                 F.lit(r).alias("discovered_round"),
+                F.lit(r).alias("first_seen_round"),
             )
             .observe(obs_new, F.count(F.lit(1)).alias("n"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        seen_path = self.catalog.stage_path(sid, "seen")
-        new_entries.select(
-            "url_hash", "url", "depth", F.lit(r).alias("first_seen_round")
-        ).write.mode("overwrite").parquet(seen_path)
+        delta_path = self.catalog.stage_path(sid, "crawl_delta")
+        new_entries.write.mode("overwrite").parquet(delta_path)
         n_cand = int(obs_cand.get["n"] or 0)
         n_new = int(obs_new.get["n"] or 0)
         mark("dedup_seen_write")
 
-        # wave 3: frontier. With an unbudgeted pop the remainder is empty by
-        # construction — skip the anti-join entirely.
-        if unbudgeted:
-            new_frontier = new_entries.select(*schemas.FRONTIER.fieldNames())
-        else:
+        # wave 3: frontier. With an unbudgeted pop the remainder is empty
+        # by construction — the frontier IS the delta (no write at all,
+        # just a projected manifest pointer).
+        new_frontier = None
+        frontier_path = delta_path
+        if not unbudgeted:
             # popped is budget×hosts rows — broadcast only when bounded
             # (millions of hosts would OOM the driver otherwise).
             popped_urls = popped.select("url")
@@ -378,7 +403,7 @@ class CrawlEngine:
             new_frontier = remaining.unionByName(
                 new_entries.select(*schemas.FRONTIER.fieldNames())
             )
-        frontier_path = self.catalog.stage_path(sid, "frontier")
+            frontier_path = self.catalog.stage_path(sid, "frontier")
         bloom_path = (
             self.catalog.stage_path(sid, "seen_bloom") if cfg.use_bloom else None
         )
@@ -432,15 +457,18 @@ class CrawlEngine:
         # concurrent jobs so the round pays one job latency, not four
         # (the big docs/seen writes above stay sequential: measured at
         # local[16], concurrent big writes contend and lose).
-        tail = [(frontier_path, new_frontier), (lineage_path, lineage_df),
-                (metrics_path, metrics_df)]
+        # tiny tables coalesce to one task — a 30-row lineage frame written
+        # as 16+ tasks costs more scheduling than writing (anti-scales)
+        tail = [(lineage_path, lineage_df.coalesce(1)), (metrics_path, metrics_df)]
+        if new_frontier is not None:
+            tail.append((frontier_path, new_frontier))
         if bloom_path is not None:
             # the blob rows of the fused pass ARE this round's bloom delta
             # (only touched buckets; full set on compaction rounds)
             bloom_delta = fused.where(F.col("filter_blob").isNotNull()).select(
                 F.col("__bucket").alias("bucket"), "filter_blob", "n_items", "gen"
             )
-            tail.append((bloom_path, bloom_delta))
+            tail.append((bloom_path, bloom_delta.coalesce(4)))
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=len(tail)) as pool:
@@ -454,9 +482,13 @@ class CrawlEngine:
         tables = {"frontier": frontier_path}
         appends = {
             "documents": docs_path,
-            "seen": seen_path,
+            "seen": delta_path,
             "crawl_metrics": metrics_path,
             "partition_lineage": lineage_path,
+        }
+        projections = {
+            "seen": schemas.SEEN.fieldNames(),
+            "frontier": schemas.FRONTIER.fieldNames(),
         }
         if bloom_path is not None:
             # delta append per round; table replace on compaction rounds
@@ -468,6 +500,7 @@ class CrawlEngine:
             sid,
             tables=tables,
             appends=appends,
+            projections=projections,
             properties={
                 "round": r,
                 "seen_count": n_seen,

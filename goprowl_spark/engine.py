@@ -120,12 +120,19 @@ class GoProwlSearchEngine:
 
     def suggest(self, prefix: str, limit: int = 10) -> list[str]:
         """Suggest (stub in reference, basic_search.go:228-231; real here):
-        vocabulary terms with the given prefix."""
+        vocabulary terms with the given prefix. The distinct vocabulary is
+        materialized (cached) per snapshot — repeated suggest calls don't
+        rebuild the postings."""
+        sid = self.store.catalog.latest()
+        cached = getattr(self, "_vocab_cache", None)
+        if cached is None or cached[0] != sid:
+            if cached is not None:
+                cached[1].unpersist()
+            vocab_df = self.reindex().select("term").distinct().persist()
+            self._vocab_cache = (sid, vocab_df)
         vocab = (
-            self.reindex()
-            .select("term")
+            self._vocab_cache[1]
             .where(F.col("term").startswith(prefix))
-            .distinct()
             .orderBy("term")
             .limit(limit)
         )

@@ -107,14 +107,12 @@ class SnapshotCatalog:
             entry["tables"][name] = written[name]
         for name in appends or {}:
             existing = entry["tables"].get(name)
-            paths = (
-                existing
-                if isinstance(existing, list)
-                else [existing]
-                if existing
-                else []
+            paths = self._entry_paths(existing) if existing is not None else []
+            cols = self._entry_columns(existing) if existing is not None else None
+            new_paths = paths + [written[name]]
+            entry["tables"][name] = (
+                {"paths": new_paths, "columns": cols} if cols else new_paths
             )
-            entry["tables"][name] = paths + [written[name]]
         manifest["snapshots"][str(sid)] = entry
         manifest["current"] = sid
         self._write_manifest(manifest)
@@ -132,17 +130,31 @@ class SnapshotCatalog:
         e.g. collecting Observation metrics after one write feeds the next)."""
         return os.path.join(self.root, "snapshots", str(sid), name)
 
+    @staticmethod
+    def _entry_paths(entry) -> list[str]:
+        if isinstance(entry, dict):
+            return list(entry["paths"])
+        return entry if isinstance(entry, list) else [entry]
+
+    @staticmethod
+    def _entry_columns(entry) -> list[str] | None:
+        return entry.get("columns") if isinstance(entry, dict) else None
+
     def commit_staged(
         self,
         sid: int,
         tables: dict[str, str] | None = None,
         appends: dict[str, str] | None = None,
         properties: dict | None = None,
+        projections: dict[str, list[str]] | None = None,
     ) -> int:
         """Finish a staged snapshot: paths were already written by the
         caller (via stage_path); this just swings the manifest pointer —
         the atomic step. tables: name→path full replace; appends:
-        name→path delta."""
+        name→path delta. ``projections``: per-table column list applied on
+        load — lets TWO logical tables share ONE physical delta file (the
+        crawl's seen/frontier delta is written once per round), the
+        manifest-level equivalent of an Iceberg metadata-only view."""
         manifest = self._read_manifest()
         expect = 0 if manifest["current"] is None else int(manifest["current"]) + 1
         if sid != expect:
@@ -153,18 +165,21 @@ class SnapshotCatalog:
             else {"tables": {}}
         )
         entry = {"tables": dict(prev["tables"]), "properties": properties or {}}
+        projections = projections or {}
         for name, path in (tables or {}).items():
-            entry["tables"][name] = path
-        for name, path in (appends or {}).items():
-            existing = entry["tables"].get(name)
-            paths = (
-                existing
-                if isinstance(existing, list)
-                else [existing]
-                if existing
-                else []
+            cols = projections.get(name)
+            entry["tables"][name] = (
+                {"paths": [path], "columns": cols} if cols else path
             )
-            entry["tables"][name] = paths + [path]
+        for name, path in (appends or {}).items():
+            old = entry["tables"].get(name)
+            paths = (self._entry_paths(old) if old is not None else []) + [path]
+            cols = projections.get(name) or (
+                self._entry_columns(old) if old is not None else None
+            )
+            entry["tables"][name] = (
+                {"paths": paths, "columns": cols} if cols else paths
+            )
         manifest["snapshots"][str(sid)] = entry
         manifest["current"] = sid
         self._write_manifest(manifest)
@@ -178,17 +193,20 @@ class SnapshotCatalog:
     ) -> DataFrame:
         """Read ``table`` at ``snapshot_id`` (default: current). A table
         absent from the snapshot returns an empty DataFrame when ``schema``
-        is given (first crawl round bootstraps from empty state)."""
+        is given (first crawl round bootstraps from empty state). Entries
+        carrying a column projection are selected down on read (column
+        pruning reaches the parquet scan)."""
         manifest = self._read_manifest()
         sid = manifest["current"] if snapshot_id is None else snapshot_id
         entry = manifest["snapshots"].get(str(sid), {"tables": {}}) if sid is not None else {"tables": {}}
-        path = entry["tables"].get(table)
-        if path is None:
+        e = entry["tables"].get(table)
+        if e is None:
             if schema is None:
                 raise KeyError(f"table {table!r} not in snapshot {sid!r}")
             return self.spark.createDataFrame([], schema)
-        paths = path if isinstance(path, list) else [path]
-        return self.spark.read.parquet(*paths)
+        df = self.spark.read.parquet(*self._entry_paths(e))
+        cols = self._entry_columns(e)
+        return df.select(*cols) if cols else df
 
     def properties(self, snapshot_id: int | None = None) -> dict:
         manifest = self._read_manifest()

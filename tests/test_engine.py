@@ -51,3 +51,27 @@ def test_page_handler_hook(spark, tmp_path):
     eng.run()
     types = {r["doc_type"] for r in eng.documents().collect()}
     assert types == {"annotated"}
+
+
+def test_read_role_permission_filter(spark, tmp_path):
+    eng = GoProwlSearchEngine(spark, str(tmp_path))
+    eng.index("pub", "spark public", "spark text")
+    eng.index("sec", "spark secret", "spark text", permission_read=["admin"])
+
+    all_hits = {r["doc_id"] for r in eng.search("spark").collect()}
+    assert all_hits == {"pub", "sec"}  # no role → no enforcement
+    admin = {r["doc_id"] for r in eng.search("spark", read_role="admin").collect()}
+    assert admin == {"pub", "sec"}
+    guest = {r["doc_id"] for r in eng.search("spark", read_role="guest").collect()}
+    assert guest == {"pub"}  # non-granted role sees only public docs
+
+
+def test_metadata_roundtrip_and_index_size(spark, tmp_path):
+    eng = GoProwlSearchEngine(spark, str(tmp_path))
+    eng.index("m1", "title", "content", metadata={"author": "ada", "lang": "en"})
+    row = eng.store.get("m1").collect()[0]
+    assert row["metadata"]["author"] == "ada"
+    assert row["metadata"]["lang"] == "en"
+    st = eng.stats()
+    assert st.document_count == 1
+    assert st.index_size_bytes > 0

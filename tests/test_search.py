@@ -186,3 +186,40 @@ def test_sql_compiler_matches_spark(spark, docs_df):
             for r in S.search(docs_df, q, size=10).collect()
         ]
         assert got == oracle, q
+
+
+# ------------------------------------------------------------ processor mode
+
+def test_processor_mode_skips_or():
+    # processor.go:54-55 consumes OR; the wired-in query.go treats it as a term
+    legacy = [t.text for t in S.parse_query("a OR b")]
+    proc = [t.text for t in S.parse_query("a OR b", processor=True)]
+    assert legacy == ["a", "OR", "b"]
+    assert proc == ["a", "b"]
+
+
+def test_processor_mode_keeps_other_syntax():
+    terms = S.parse_query('x AND y "p q" f~2 title:z', processor=True)
+    assert [t.text for t in terms] == ["x", "y", "p q", "f", "z"]
+    assert terms[1].required and terms[2].type == S.PHRASE
+    assert terms[3].type == S.FUZZY and terms[4].field == "title"
+
+
+def test_boost_multiplies_score(spark):
+    docs = spark.createDataFrame(
+        [("d1", "spark title", "body"), ("d2", "other", "spark body")],
+        "doc_id string, title string, content string",
+    )
+    base = S.parse_query("spark")
+    boosted = S.parse_query("spark")
+    boosted[0].boost = 3.0
+    s1 = {r["doc_id"]: r["score"] for r in S.search(docs, "", terms=base).collect()}
+    s3 = {r["doc_id"]: r["score"] for r in S.search(docs, "", terms=boosted).collect()}
+    assert s3 == {k: 3.0 * v for k, v in s1.items()}
+
+
+def test_boost_sql_parity():
+    terms = S.parse_query("spark data", processor=True)
+    terms[0].boost = 2.5
+    sql = S.compile_score_sql(terms, "title", "content")
+    assert "* 2.5" in sql and "data" in sql

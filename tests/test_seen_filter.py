@@ -64,3 +64,42 @@ def test_filter_unseen_equals_exact_antijoin(spark):
     }
     assert with_bloom == exact
     assert len(exact) == 3000  # 3000..5999
+
+
+def test_bloom_delta_latest_generation_wins(spark):
+    # round 1 inserts [0,100), round 2 appends a delta for [100,200);
+    # probing the UNION of generations must see both ranges
+    a = _urls(spark, 0, 100)
+    b = _urls(spark, 100, 200)
+    empty = spark.createDataFrame([], seen_filter.schemas.SEEN_BLOOM)
+    g1 = seen_filter.update_blooms(empty, a, bits_per_bucket=1 << 14, gen=1)
+    delta2 = seen_filter.update_blooms(g1, b, bits_per_bucket=1 << 14, gen=2)
+    # simulate the appended table: generation-1 rows PLUS generation-2 delta
+    merged = g1.unionByName(delta2)
+    probed = seen_filter.probe_blooms(
+        _urls(spark, 0, 200), merged, bits_per_bucket=1 << 14
+    )
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_probe_and_update_matches_split_path(spark):
+    seen = _urls(spark, 0, 500)
+    cands = _urls(spark, 400, 700)
+    empty = spark.createDataFrame([], seen_filter.schemas.SEEN_BLOOM)
+    blooms = seen_filter.update_blooms(empty, seen, bits_per_bucket=1 << 14, gen=0)
+    fused = seen_filter.probe_and_update(
+        cands, blooms, bits_per_bucket=1 << 14, gen=1
+    )
+    probed = fused.where(F.col("filter_blob").isNull())
+    split = seen_filter.probe_blooms(cands, blooms, bits_per_bucket=1 << 14)
+    got = {(r["url"], r["maybe_seen"]) for r in probed.collect()}
+    want = {(r["url"], r["maybe_seen"]) for r in split.collect()}
+    assert got == want
+    # the emitted blobs contain every candidate (probe after update → all True)
+    delta = fused.where(F.col("filter_blob").isNotNull()).select(
+        F.col("__bucket").alias("bucket"), "filter_blob", "n_items", "gen"
+    )
+    reprobe = seen_filter.probe_blooms(
+        cands, blooms.unionByName(delta), bits_per_bucket=1 << 14
+    )
+    assert reprobe.where(~F.col("maybe_seen")).count() == 0
