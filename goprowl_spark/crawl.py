@@ -187,10 +187,13 @@ class CrawlEngine:
           1. documents  — fetch → parse → append write (the HTML flows
                           straight through the Arrow parse UDF into parquet;
                           nothing page-sized is ever cached or shuffled)
-          2. seen delta — links ← stored docs (columnar spans read) →
-                          candidates → Bloom+anti-join dedup → append write
-          3. frontier   — remainder ∪ new entries (skipped arithmetic-empty
-                          remainder when the pop is unbudgeted)
+          2. round delta — links ← stored docs (columnar spans read) →
+                          candidates → Bloom+anti-join dedup → ONE write
+                          carrying the seen∪frontier superset schema; the
+                          manifest projects both logical tables out of it
+          3. frontier   — only under budgets: remainder ∪ new entries
+                          (unbudgeted BFS needs no write at all — the
+                          frontier IS the round delta)
           4. seen_bloom — delta of touched buckets appended (latest gen
                           wins on read; full rewrite only on compaction
                           rounds), produced by the SAME fused cogroup pass
@@ -468,7 +471,7 @@ class CrawlEngine:
             bloom_delta = fused.where(F.col("filter_blob").isNotNull()).select(
                 F.col("__bucket").alias("bucket"), "filter_blob", "n_items", "gen"
             )
-            tail.append((bloom_path, bloom_delta.coalesce(4)))
+            tail.append((bloom_path, bloom_delta))
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=len(tail)) as pool:

@@ -24,7 +24,7 @@ hashing via xxhash64) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -93,22 +93,37 @@ def jaccard_pairs(
     oracle identically.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    # Cap and per-doc sizes ride along as WINDOW counts on the postings —
+    # no groupBy + join-back passes (measured: the join-back encoding of
+    # the cap cost more than the fan-out it pruned at moderate SF). The
+    # self-join then carries both sizes, so no post-join size lookups.
     sh = shingle_postings(df, id_col, text_col, n)
     if df_cap is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        sh = sh.join(freq.where(F.col("df") <= df_cap).select("shingle"), "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
+        sh = (
+            sh.withColumn(
+                "__sdf", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .where(F.col("__sdf") <= df_cap)
+            .drop("__sdf")
+        )
+    sh = sh.withColumn(
+        "n_shingles", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), "shingle", F.col("n_shingles").alias("sa")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), "shingle", F.col("n_shingles").alias("sb")
+    )
+    return (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("sa")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("sb")), "id_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.max("sa").alias("sa"),
+            F.max("sb").alias("sb"),
+        )
         .select(
             "id_a",
             "id_b",
@@ -225,22 +240,34 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verification of the (small) candidate set
-    sh = shingle_postings(df, id_col, text_col, 3)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # exact verification of the (small) candidate set; sizes ride along as
+    # window counts (same shape as jaccard_pairs — no size join-backs)
+    sh = shingle_postings(df, id_col, text_col, 3).withColumn(
+        "n_shingles", F.count("*").over(Window.partitionBy("doc_id"))
+    )
     verified = (
         candidates.join(
-            sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a"
+            sh.select(
+                F.col("doc_id").alias("id_a"), "shingle",
+                F.col("n_shingles").alias("sa"),
+            ),
+            "id_a",
         )
         .join(
-            sh.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("sh_b")),
+            sh.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("shingle").alias("sh_b"),
+                F.col("n_shingles").alias("sb"),
+            ),
             "id_b",
         )
         .where(F.col("shingle") == F.col("sh_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("sa")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("sb")), "id_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.max("sa").alias("sa"),
+            F.max("sb").alias("sb"),
+        )
         .select(
             "id_a",
             "id_b",

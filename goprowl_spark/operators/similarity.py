@@ -296,25 +296,54 @@ def lsh_cosine_pairs(
     At 10^10 scale the band keys are bucketed storage keys; here the same
     join shape at test size. Returns (id_a, id_b, cosine), id_a < id_b.
     """
-    sigs = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        *[
-            lsh_signature_col(
-                F.col(vec_col), dim, planes_per_band, plane_offset=b * planes_per_band
-            ).alias(f"band_{b}")
-            for b in range(bands)
+    # Signatures via the matrix-multiply-as-join shape: explode quantized
+    # components, broadcast-join the (plane, component, ±1) table, two
+    # partial-aggregated groupBys. This keeps the plan a small join tree —
+    # inlining 48 aggregate-over-zip_with expressions (the obvious
+    # column-algebra encoding) explodes Catalyst planning/codegen and
+    # recomputes signatures on both sides of every band join.
+    n_planes = bands * planes_per_band
+    spark = embeddings.sparkSession
+    planes = spark.createDataFrame(
+        [
+            (p, j, _plane_component(p, j))
+            for p in range(n_planes)
+            for j in range(dim)
         ],
+        "p int, j int, s long",
     )
-    cand = None
-    for b in range(bands):
-        left = sigs.select(F.col("vec_id").alias("id_a"), F.col(f"band_{b}").alias("k"))
-        right = sigs.select(F.col("vec_id").alias("id_b"), F.col(f"band_{b}").alias("k"))
-        pairs = left.join(right, "k").where(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b"
+    qcomp = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(_quantized(F.col(vec_col))).alias("j", "qy"),
+    )
+    proj = (
+        qcomp.join(F.broadcast(planes), "j")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("qy") * F.col("s")).alias("d"))
+    )
+    band_rows = (
+        proj.groupBy(
+            "vec_id", (F.col("p") / planes_per_band).cast("int").alias("band")
         )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("d") >= 0,
+                    # shiftleft's bit count must be a Column here (p varies
+                    # per row) — the python builtin only takes int literals
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), p % {planes_per_band})"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("band_key")
+        )
+    )
+    left = band_rows.select(F.col("vec_id").alias("id_a"), "band", "band_key")
+    right = band_rows.select(F.col("vec_id").alias("id_b"), "band", "band_key")
+    cand = (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     va = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )

@@ -20,7 +20,7 @@ Scorers are closed-form Column algebra over the postings join — no UDFs:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 K1 = 1.2  # ranker.go:16
@@ -88,16 +88,16 @@ def tfidf_scores(
     (J5). Result: (doc_id, score) sorted desc with deterministic tie-break.
     """
     terms = _query_terms_df(spark, query)
-    # Semi-join FIRST: df is aggregated over only the postings of the few
-    # query terms, not the full vocabulary — at corpus scale this turns a
-    # whole-postings shuffle into a broadcast-filtered slice.
+    # Semi-join FIRST: document frequency is computed over only the
+    # postings of the few query terms, not the full vocabulary. df(t) is a
+    # COUNT window over the slice — postings rows are unique per
+    # (term, doc), so count == countDistinct — which keeps the postings
+    # subtree evaluated ONCE (a groupBy+self-join would build it twice).
     qpost = postings.join(F.broadcast(terms), "term")
-    df_per_term = qpost.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    df_col = F.count("*").over(Window.partitionBy("term"))
     idf = 1.0 + F.floor(F.lit(float(total_docs)) / F.col("df"))
     scored = (
-        qpost.join(F.broadcast(df_per_term), "term")
+        qpost.withColumn("df", df_col)
         .join(doc_stats, "doc_id")
         .select(
             "doc_id",
@@ -123,18 +123,16 @@ def bm25_scores(
 ) -> DataFrame:
     """Ranker.Score summed over query terms (ranker.go:22-41)."""
     terms = _query_terms_df(spark, query)
-    # Same semi-join-first shape as tfidf_scores: df over the query slice only.
+    # Same semi-join-first + count-window shape as tfidf_scores.
     qpost = postings.join(F.broadcast(terms), "term")
-    df_per_term = qpost.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    df_col = F.count("*").over(Window.partitionBy("term"))
     avgdl = doc_stats.agg(F.avg("doc_len")).collect()[0][0] or 0.0
     n = F.lit(float(total_docs))
     idf = F.log(1 + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf = F.col("tf").cast("double")
     denom = tf + K1 * (1 - B + B * F.col("doc_len") / F.lit(float(avgdl)))
     scored = (
-        qpost.join(F.broadcast(df_per_term), "term")
+        qpost.withColumn("df", df_col)
         .join(doc_stats, "doc_id")
         .select(
             "doc_id",
