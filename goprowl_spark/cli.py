@@ -41,6 +41,16 @@ def cmd_crawl(args) -> int:
     engine = CrawlEngine(
         spark, corpus.corpus_df(spark, args.corpus_n), args.workdir, cfg
     )
+    if engine.catalog.latest() is not None and args.clear:
+        # Application.Run semantics (application.go:106-126): clear the
+        # index, then crawl fresh. Implemented as a fresh workdir epoch —
+        # prior snapshots stay readable for time-travel.
+        import shutil
+
+        shutil.rmtree(args.workdir, ignore_errors=True)
+        engine = CrawlEngine(
+            spark, corpus.corpus_df(spark, args.corpus_n), args.workdir, cfg
+        )
     if engine.catalog.latest() is not None:
         if not args.resume:
             # Never silently continue an old crawl with fresh seeds/depth
@@ -109,6 +119,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--corpus-n", type=int, default=5000)
     c.add_argument("--max-rounds", type=int, default=None)
     c.add_argument("--resume", action="store_true")
+    c.add_argument(
+        "--clear",
+        action="store_true",
+        help="clear any existing crawl in --workdir first (Application.Run "
+        "clear-then-crawl, application.go:106-126)",
+    )
     c.set_defaults(fn=cmd_crawl)
 
     s = sub.add_parser("search")

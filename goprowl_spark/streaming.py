@@ -62,3 +62,102 @@ def windowed_event_counts(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    events_path: str,
+    gap_minutes: int = 30,
+    watermark: str = "30 minutes",
+    query_name: str = "goprowl_stream_sessions",
+) -> DataFrame:
+    """Gap-based sessionization as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState`` + event-time timeouts) — the streaming twin
+    of :func:`operators.sessions.sessionize`.
+
+    Per user, open-session state (start, end, n_events, next session id)
+    lives in the state store; a session closes when a later event arrives
+    past the gap, or when the watermark passes ``session_end + gap``
+    (EventTimeTimeout — late data inside the watermark still extends the
+    session). Only closed sessions are emitted (append mode): sessions
+    still open when the stream pauses stay in state and survive restarts
+    via the checkpoint — exactly the behavior a 100 TB event firehose
+    needs. Batch-equivalence (flushed prefix == batch sessionize) is
+    pinned in tests/test_streaming.py.
+    """
+    import pandas as pd
+
+    gap_s = gap_minutes * 60
+    out_schema = (
+        "user_id bigint, session_id bigint, n_events bigint, "
+        "session_start string, session_end string"
+    )
+    state_schema = "start bigint, end bigint, n bigint, sid bigint"
+
+    def fmt(epoch: int) -> str:
+        return pd.Timestamp(epoch, unit="s").strftime("%Y-%m-%d %H:%M:%S")
+
+    def fn(key, pdfs, state):
+        user = key[0]
+        closed = []
+        if state.hasTimedOut:
+            start, end, n, sid = state.get
+            closed.append((user, sid, n, fmt(start), fmt(end)))
+            state.remove()
+        else:
+            ts = sorted(
+                int(t)
+                for pdf in pdfs
+                for t in pdf["ts"].astype("int64") // 10**9
+            )
+            if state.exists:
+                start, end, n, sid = state.get
+            else:
+                start = end = ts[0]
+                n = 0
+                sid = 1
+            for t in ts:
+                if n and t - end > gap_s:
+                    closed.append((user, sid, n, fmt(start), fmt(end)))
+                    sid += 1
+                    start, n = t, 0
+                n += 1
+                end = max(end, t)
+            state.update((start, end, n, sid))
+            state.setTimeoutTimestamp((end + gap_s) * 1000)
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                "user_id", "session_id", "n_events",
+                "session_start", "session_end",
+            ],
+        )
+
+    schema = spark.read.parquet(events_path).schema
+    base_dir, _, fname = events_path.rpartition("/")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", fname)
+        .parquet(base_dir)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
