@@ -52,6 +52,11 @@ class CrawlConfig:
     # join (so page payloads never shuffle); larger batches fall back to a
     # shuffle join — at 10^10 scale use politeness budgets to bound batches
     broadcast_pop_limit: int = 2_000_000
+    # fetch-stage tasks per core (fetcher path): >1 smooths stragglers in
+    # the Python fetch+parse map stage — with exactly one task per core
+    # the slowest task gates the whole wave. The repartition shuffles only
+    # (url, depth) rows, negligible next to the per-URL fetch/parse work.
+    fetch_tasks_per_core: int = 3
     extra: dict = field(default_factory=dict)
 
 
@@ -247,6 +252,11 @@ class CrawlEngine:
         # corpus table (web-archive shape). The batch side is bounded
         # (politeness budgets) so it broadcasts; page payloads never shuffle.
         if self.fetcher is not None:
+            if cfg.fetch_tasks_per_core > 1:
+                batch = batch.repartition(
+                    self.spark.sparkContext.defaultParallelism
+                    * cfg.fetch_tasks_per_core
+                )
             fetched = self.fetcher(batch)
         else:
             bcast_ok = n_frontier <= cfg.broadcast_pop_limit

@@ -137,3 +137,18 @@ def test_metrics_lineage_per_round(spark, tmp_path):
     cards = [rows[r]["seen_cardinality"] for r in sorted(rows)]
     assert cards == sorted(cards)
     assert all(0.0 <= rows[r]["dedup_rate"] <= 1.0 for r in rows)
+
+
+def test_prometheus_export(spark, tmp_path):
+    from goprowl_spark import metrics_export, schemas
+
+    metrics = spark.createDataFrame(
+        [(2, 100, 50, 48, 2, 150, 120, 30, 90, 500, 0.25, 12.0, 40.0, 3.5)],
+        schemas.CRAWL_METRICS,
+    )
+    text = metrics_export.prometheus_text(metrics)
+    assert 'goprowl_pages_visited_total{round="2"} 50' in text
+    assert "# TYPE goprowl_frontier_size gauge" in text
+    out = tmp_path / "goprowl.prom"
+    metrics_export.write_textfile(metrics, str(out))
+    assert out.read_text() == text
