@@ -27,7 +27,10 @@ CHECKS = {
     "agg_q1": (["HashAggregate", "PushedFilters"], []),
     "emb_cosine_topk": (["TakeOrderedAndProject"], ["Exchange hashpartitioning"]),
     "tfidf_search": (["BroadcastHashJoin"], []),
-    "search_relevancy": ([], []),  # inspect manually: scan → project → filter
+    "search_relevancy": (["TakeOrderedAndProject"], ["Window"]),
+    # round-1 regression guard: pagination must be a partial top-k, never a
+    # single-partition global row_number window
+    "pagination": (["TakeOrderedAndProject"], ["Window"]),
 }
 
 
