@@ -111,6 +111,21 @@ class GoProwlSearchEngine:
             docs, query, filters=filters, page=page, size=size, strict=strict,
         )
 
+    def search_with_options(
+        self,
+        query: str,
+        filters: dict[str, str] | None = None,
+        page: int = 1,
+        size: int = 10,
+        sort_by: str | None = None,
+        sort_order: str | None = None,
+    ) -> DataFrame:
+        """SearchWithOptions (basic_search.go:321-339): parse + paginate +
+        delegate. SortBy/SortOrder are accepted and IGNORED exactly like
+        the reference (dead SearchOptions fields — no consumer)."""
+        del sort_by, sort_order  # reference parity: never consulted
+        return self.search(query, filters=filters, page=page, size=size)
+
     def get_total_results(self, query: str) -> int:
         """GetTotalResults (basic_search.go:341-361)."""
         terms = gsearch.parse_query(query)

@@ -75,3 +75,15 @@ def test_metadata_roundtrip_and_index_size(spark, tmp_path):
     st = eng.stats()
     assert st.document_count == 1
     assert st.index_size_bytes > 0
+
+
+def test_search_with_options_parity(spark, tmp_path):
+    eng = GoProwlSearchEngine(spark, str(tmp_path))
+    eng.index("a", "spark one", "text")
+    eng.index("b", "spark two", "text")
+    # SortBy/SortOrder are dead fields in the reference — accepted, ignored
+    via_opts = [r["doc_id"] for r in eng.search_with_options(
+        "spark", page=1, size=10, sort_by="title", sort_order="desc"
+    ).collect()]
+    direct = [r["doc_id"] for r in eng.search("spark").collect()]
+    assert via_opts == direct
