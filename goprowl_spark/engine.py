@@ -82,8 +82,38 @@ class GoProwlSearchEngine:
 
     def reindex(self) -> DataFrame:
         """Reindex (stub in reference, basic_search.go:233-236; real here):
-        rebuild the postings DataFrame from the stored documents."""
-        return ranking.build_postings(self.store.get_all())
+        rebuild postings + doc_stats from the stored documents and COMMIT
+        them as the maintained index tables (a new snapshot). Day-to-day
+        the index stays fresh incrementally (store.batch_store/delete);
+        reindex is the full-rebuild escape hatch."""
+        from goprowl_spark import store as store_mod
+
+        docs = self.store.get_all()
+        self.store.catalog.commit(
+            {
+                store_mod.POSTINGS: ranking.build_postings(docs),
+                store_mod.DOC_STATS: ranking.build_doc_stats(docs),
+            }
+        )
+        return self.store.postings()
+
+    def search_ranked(
+        self, query: str, scorer: str = "bm25", k: int = 10
+    ) -> DataFrame:
+        """Ranked retrieval over the MAINTAINED index tables — the
+        indexer.Search / Ranker.Score path (indexer.go:59-83,
+        ranker.go:14-41), served from materialized postings instead of a
+        per-query corpus re-tokenize. Returns top-k (doc_id, score)."""
+        postings = self.store.postings()
+        stats = self.store.doc_stats()
+        total = stats.count()
+        if scorer == "bm25":
+            scored = ranking.bm25_scores(self.spark, postings, stats, total, query)
+        elif scorer == "tfidf":
+            scored = ranking.tfidf_scores(self.spark, postings, stats, total, query)
+        else:
+            raise ValueError(f"unknown scorer {scorer!r}")
+        return scored.limit(k)
 
     # ------------------------------------------------------------ queries
 
@@ -143,7 +173,7 @@ class GoProwlSearchEngine:
         if cached is None or cached[0] != sid:
             if cached is not None:
                 cached[1].unpersist()
-            vocab_df = self.reindex().select("term").distinct().persist()
+            vocab_df = self.store.postings().select("term").distinct().persist()
             self._vocab_cache = (sid, vocab_df)
         vocab = (
             self._vocab_cache[1]

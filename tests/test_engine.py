@@ -87,3 +87,15 @@ def test_search_with_options_parity(spark, tmp_path):
     ).collect()]
     direct = [r["doc_id"] for r in eng.search("spark").collect()]
     assert via_opts == direct
+
+
+def test_search_ranked_over_maintained_index(spark, tmp_path):
+    eng = GoProwlSearchEngine(spark, str(tmp_path))
+    eng.index("d1", "t", "spark spark spark engine")
+    eng.index("d2", "t", "spark unrelated words here")
+    eng.index("d3", "t", "nothing matching at all")
+    top = eng.search_ranked("spark", scorer="bm25", k=5).collect()
+    assert [r["doc_id"] for r in top][0] == "d1"  # highest tf wins
+    assert len(top) == 2  # d3 has no matching term
+    tf = eng.search_ranked("spark", scorer="tfidf", k=5).collect()
+    assert {r["doc_id"] for r in tf} == {"d1", "d2"}
