@@ -57,6 +57,12 @@ class CrawlConfig:
     # the slowest task gates the whole wave. The repartition shuffles only
     # (url, depth) rows, negligible next to the per-URL fetch/parse work.
     fetch_tasks_per_core: int = 3
+    # index crawled pages on write (the reference indexes every page into
+    # bleve via the storage adapter): appends per-round postings/doc_stats
+    # deltas tokenized from ONLY the round's new docs — dedup guarantees
+    # doc_ids never repeat, so appends need no merge. Off by default: the
+    # pure-crawl benchmark shouldn't pay for a feature the query side owns.
+    maintain_index: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -473,6 +479,14 @@ class CrawlEngine:
         # tiny tables coalesce to one task — a 30-row lineage frame written
         # as 16+ tasks costs more scheduling than writing (anti-scales)
         tail = [(lineage_path, lineage_df.coalesce(1)), (metrics_path, metrics_df)]
+        postings_path = stats_path = None
+        if cfg.maintain_index:
+            from goprowl_spark import ranking
+
+            postings_path = self.catalog.stage_path(sid, "postings")
+            stats_path = self.catalog.stage_path(sid, "doc_stats")
+            tail.append((postings_path, ranking.build_postings(docs_stored)))
+            tail.append((stats_path, ranking.build_doc_stats(docs_stored)))
         if new_frontier is not None:
             tail.append((frontier_path, new_frontier))
         if bloom_path is not None:
@@ -503,6 +517,9 @@ class CrawlEngine:
             "seen": schemas.SEEN.fieldNames(),
             "frontier": schemas.FRONTIER.fieldNames(),
         }
+        if postings_path is not None:
+            appends["postings"] = postings_path
+            appends["doc_stats"] = stats_path
         if bloom_path is not None:
             # delta append per round; table replace on compaction rounds
             if compact:

@@ -152,3 +152,32 @@ def test_prometheus_export(spark, tmp_path):
     out = tmp_path / "goprowl.prom"
     metrics_export.write_textfile(metrics, str(out))
     assert out.read_text() == text
+
+
+def test_crawl_maintain_index_ranked_search(spark, tmp_path):
+    from goprowl_spark import corpus, ranking
+    from goprowl_spark.crawl import CrawlConfig, CrawlEngine
+    from goprowl_spark.engine import GoProwlSearchEngine
+
+    n = 300
+    eng = CrawlEngine(
+        spark,
+        None,
+        str(tmp_path),
+        CrawlConfig(seeds=[corpus.url(0)], max_depth=2, maintain_index=True),
+        fetcher=corpus.make_fetcher(n),
+    )
+    eng.run()
+    search = GoProwlSearchEngine(spark, str(tmp_path))
+    # the per-round index appends must equal a from-scratch rebuild
+    maintained = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in search.store.postings().collect()
+    }
+    rebuilt = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in ranking.build_postings(eng.documents()).collect()
+    }
+    assert maintained == rebuilt and maintained
+    top = search.search_ranked("alpha", scorer="bm25", k=5).collect()
+    assert top and all(r["score"] > 0 for r in top)
