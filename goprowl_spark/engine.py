@@ -106,9 +106,21 @@ class GoProwlSearchEngine:
         per-query corpus re-tokenize. Returns top-k (doc_id, score)."""
         postings = self.store.postings()
         stats = self.store.doc_stats()
-        total = stats.count()
+        # corpus stats (N, avgdl) are per-snapshot constants — compute once
+        # per snapshot, not per query
+        sid = self.store.catalog.latest()
+        cached = getattr(self, "_corpus_stats", None)
+        if cached is None or cached[0] != sid:
+            row = stats.agg(
+                F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+            ).collect()[0]
+            cached = (sid, int(row["n"]), float(row["avgdl"] or 0.0))
+            self._corpus_stats = cached
+        _, total, avgdl = cached
         if scorer == "bm25":
-            scored = ranking.bm25_scores(self.spark, postings, stats, total, query)
+            scored = ranking.bm25_scores(
+                self.spark, postings, stats, total, query, avgdl=avgdl
+            )
         elif scorer == "tfidf":
             scored = ranking.tfidf_scores(self.spark, postings, stats, total, query)
         else:

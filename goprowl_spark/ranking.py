@@ -120,13 +120,17 @@ def bm25_scores(
     total_docs: int,
     query: str,
     boost: float = 1.0,
+    avgdl: float | None = None,
 ) -> DataFrame:
-    """Ranker.Score summed over query terms (ranker.go:22-41)."""
+    """Ranker.Score summed over query terms (ranker.go:22-41). Pass a
+    precomputed ``avgdl`` (a per-snapshot corpus stat) to avoid the
+    doc_stats scan per query — engine.search_ranked caches it."""
     terms = _query_terms_df(spark, query)
     # Same semi-join-first + count-window shape as tfidf_scores.
     qpost = postings.join(F.broadcast(terms), "term")
     df_col = F.count("*").over(Window.partitionBy("term"))
-    avgdl = doc_stats.agg(F.avg("doc_len")).collect()[0][0] or 0.0
+    if avgdl is None:
+        avgdl = doc_stats.agg(F.avg("doc_len")).collect()[0][0] or 0.0
     n = F.lit(float(total_docs))
     idf = F.log(1 + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf = F.col("tf").cast("double")
