@@ -70,6 +70,8 @@ def sessionize_stream(
     gap_minutes: int = 30,
     watermark: str = "30 minutes",
     query_name: str = "goprowl_stream_sessions",
+    checkpoint_dir: str | None = None,
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Gap-based sessionization as a CUSTOM STATEFUL streaming operator
     (``applyInPandasWithState`` + event-time timeouts) — the streaming twin
@@ -82,8 +84,14 @@ def sessionize_stream(
     session). Only closed sessions are emitted (append mode): sessions
     still open when the stream pauses stay in state and survive restarts
     via the checkpoint — exactly the behavior a 100 TB event firehose
-    needs. Batch-equivalence (flushed prefix == batch sessionize) is
-    pinned in tests/test_streaming.py.
+    needs. Batch-equivalence (flushed prefix == batch sessionize) AND
+    checkpointed restart (state stitches sessions across runs) are pinned
+    in tests/test_streaming.py.
+
+    ``events_path`` may be a single parquet file or a directory (new files
+    appearing in the directory are consumed on the next run — the restart
+    path). With ``checkpoint_dir``/``sink_dir`` the query writes durable
+    parquet + checkpoint (restartable); otherwise an in-memory sink.
     """
     import pandas as pd
 
@@ -102,8 +110,13 @@ def sessionize_stream(
         closed = []
         if state.hasTimedOut:
             start, end, n, sid = state.get
-            closed.append((user, sid, n, fmt(start), fmt(end)))
-            state.remove()
+            if n:
+                closed.append((user, sid, n, fmt(start), fmt(end)))
+            # keep an empty marker carrying the NEXT session id — removing
+            # the state would reset numbering after a restart (the id
+            # counter must survive flushes; no further timeout is set, so
+            # the marker is inert until the user's next event)
+            state.update((0, 0, 0, sid + 1))
         else:
             ts = sorted(
                 int(t)
@@ -112,6 +125,8 @@ def sessionize_stream(
             )
             if state.exists:
                 start, end, n, sid = state.get
+                if n == 0:  # empty marker left by a timeout flush
+                    start = end = ts[0]
             else:
                 start = end = ts[0]
                 n = 0
@@ -133,13 +148,22 @@ def sessionize_stream(
             ],
         )
 
+    import os
+
     schema = spark.read.parquet(events_path).schema
-    base_dir, _, fname = events_path.rpartition("/")
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", fname)
-        .parquet(base_dir)
-    )
+    if os.path.isdir(events_path) and not events_path.endswith(".parquet"):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(events_path)
+        )
+    else:
+        base_dir, _, fname = events_path.rpartition("/")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", fname)
+            .parquet(base_dir)
+        )
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     sessions = (
         stream.withWatermark("ts", watermark)
@@ -152,12 +176,16 @@ def sessionize_stream(
             timeoutConf="EventTimeTimeout",
         )
     )
-    q = (
-        sessions.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = sessions.writeStream.outputMode("append").trigger(availableNow=True)
+    if sink_dir is not None:
+        q = (
+            writer.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink_dir)
+    q = writer.format("memory").queryName(query_name).start()
     q.awaitTermination()
     return spark.table(query_name)

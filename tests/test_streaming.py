@@ -35,3 +35,47 @@ def test_stream_sessionize_matches_batch_flushed_prefix(spark):
         assert batch_rows[k] == v, f"session {k}: stream {v} != batch {batch_rows[k]}"
     # and it must have flushed a meaningful share (events span >> watermark)
     assert len(got_rows) >= 0.5 * len(batch_rows)
+
+
+def test_stream_sessionize_checkpoint_restart(spark, tmp_path):
+    """Open-session state must survive a stop/restart: sessions spanning
+    the restart boundary are stitched by the checkpointed state store, so
+    every emitted session still matches the batch sessionizer exactly."""
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lo, hi = src.agg(
+        F.min(F.col("ts").cast("timestamp").cast("long")),
+        F.max(F.col("ts").cast("timestamp").cast("long"))
+    ).collect()[0]
+    cut = (lo + hi) // 2
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    src.where(F.col("ts").cast("timestamp").cast("long") <= cut).write.parquet(events_dir)
+    streaming.sessionize_stream(
+        spark, events_dir, gap_minutes=30, watermark="30 minutes",
+        checkpoint_dir=ckpt, sink_dir=sink,
+    )
+    n_first = spark.read.parquet(sink).count()
+
+    # "restart": new files land, same checkpoint — state carries over
+    src.where(F.col("ts").cast("timestamp").cast("long") > cut).write.mode("append").parquet(
+        events_dir
+    )
+    got = streaming.sessionize_stream(
+        spark, events_dir, gap_minutes=30, watermark="30 minutes",
+        checkpoint_dir=ckpt, sink_dir=sink,
+    )
+    got_rows = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["session_start"], r["session_end"])
+        for r in got.collect()
+    }
+    assert len(got_rows) > n_first, "second run emitted nothing"
+    batch_rows = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["session_start"], r["session_end"])
+        for r in sessions.sessionize(src, gap_minutes=30).collect()
+    }
+    # sessions spanning the restart cut exist; if state had NOT carried
+    # over they would be emitted split/renumbered and mismatch batch
+    for k, v in got_rows.items():
+        assert k in batch_rows and batch_rows[k] == v, f"session {k} wrong: {v}"
