@@ -43,8 +43,9 @@ def cmd_crawl(args) -> int:
     )
     if engine.catalog.latest() is not None and args.clear:
         # Application.Run semantics (application.go:106-126): clear the
-        # index, then crawl fresh. Implemented as a fresh workdir epoch —
-        # prior snapshots stay readable for time-travel.
+        # index, then crawl fresh. This DELETES the workdir — all prior
+        # snapshots are gone (the reference likewise recreates the index
+        # dir). Keep the old workdir if you want time-travel.
         import shutil
 
         shutil.rmtree(args.workdir, ignore_errors=True)
@@ -122,8 +123,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument(
         "--clear",
         action="store_true",
-        help="clear any existing crawl in --workdir first (Application.Run "
-        "clear-then-crawl, application.go:106-126)",
+        help="DELETE any existing crawl in --workdir (all snapshots) and "
+        "start fresh (Application.Run clear-then-crawl, "
+        "application.go:106-126)",
     )
     c.set_defaults(fn=cmd_crawl)
 

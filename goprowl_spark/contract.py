@@ -786,7 +786,14 @@ def _emb_ivf_topk_oracle() -> str:
     """Replay of the IVF gate: centroids = the n_centroids lowest-id
     vectors (cid = rank), assignment = argmax cosine (tie → lowest cid),
     probe = nprobe centroids nearest the query, exact scoring inside the
-    probed clusters only."""
+    probed clusters only.
+
+    Known acceptance: the assignment argmax is float math whose summation
+    order differs between numpy (Spark side) and DuckDB — a vector whose
+    top-2 centroid cosines differ by <1e-14 could assign differently.
+    Continuous embeddings make that probability negligible (unlike the
+    LSH sign bits, which sit at an exact 0 threshold and ARE integer-
+    quantized — similarity.QUANT)."""
     return f"""
 WITH ev AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS y,

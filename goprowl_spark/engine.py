@@ -104,6 +104,10 @@ class GoProwlSearchEngine:
         indexer.Search / Ranker.Score path (indexer.go:59-83,
         ranker.go:14-41), served from materialized postings instead of a
         per-query corpus re-tokenize. Returns top-k (doc_id, score)."""
+        if not self.store.has_index():
+            # workdir without maintained index tables (e.g. a crawl with
+            # maintain_index off): build + commit them once, then serve
+            self.reindex()
         postings = self.store.postings()
         stats = self.store.doc_stats()
         # corpus stats (N, avgdl) are per-snapshot constants — compute once
@@ -185,7 +189,14 @@ class GoProwlSearchEngine:
         if cached is None or cached[0] != sid:
             if cached is not None:
                 cached[1].unpersist()
-            vocab_df = self.store.postings().select("term").distinct().persist()
+            source = (
+                self.store.postings()
+                if self.store.has_index()
+                # no maintained index (e.g. plain-crawl workdir): build the
+                # vocabulary from the documents on the fly, don't commit
+                else ranking.build_postings(self.store.get_all())
+            )
+            vocab_df = source.select("term").distinct().persist()
             self._vocab_cache = (sid, vocab_df)
         vocab = (
             self._vocab_cache[1]

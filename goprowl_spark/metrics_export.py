@@ -14,16 +14,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# crawl_metrics column → (prometheus family, type, help)
+# crawl_metrics column → (prometheus family, type, help). Counters are
+# CUMULATIVE over all rounds (monotone, as Prometheus requires — rate()/
+# increase() work); gauges report the latest round's value. No per-round
+# label: a label that changes every scrape would fragment each family
+# into one-point series. The current round is its own gauge.
 FAMILIES = {
     "frontier_size": ("goprowl_frontier_size", "gauge", "URLs in the frontier at round start"),
-    "popped": ("goprowl_pages_visited_total", "counter", "URLs popped (fetched) this round"),
-    "fetched_ok": ("goprowl_fetch_ok_total", "counter", "fetches with HTTP 200"),
-    "fetched_err": ("goprowl_fetch_errors_total", "counter", "fetches with non-200 status"),
-    "links_extracted": ("goprowl_links_extracted_total", "counter", "link spans parsed"),
-    "candidates": ("goprowl_candidates_total", "counter", "candidate URLs after filters"),
-    "deduped": ("goprowl_deduped_total", "counter", "candidates dropped as already seen"),
-    "enqueued": ("goprowl_enqueued_total", "counter", "new URLs enqueued"),
+    "popped": ("goprowl_pages_visited_total", "counter", "URLs popped (fetched), all rounds"),
+    "fetched_ok": ("goprowl_fetch_ok_total", "counter", "fetches with HTTP 200, all rounds"),
+    "fetched_err": ("goprowl_fetch_errors_total", "counter", "fetches with non-200 status, all rounds"),
+    "links_extracted": ("goprowl_links_extracted_total", "counter", "link spans parsed, all rounds"),
+    "candidates": ("goprowl_candidates_total", "counter", "candidate URLs after filters, all rounds"),
+    "deduped": ("goprowl_deduped_total", "counter", "candidates dropped as already seen, all rounds"),
+    "enqueued": ("goprowl_enqueued_total", "counter", "new URLs enqueued, all rounds"),
     "seen_cardinality": ("goprowl_seen_cardinality", "gauge", "distinct URLs ever seen"),
     "dedup_rate": ("goprowl_dedup_rate", "gauge", "deduped / candidates this round"),
     "fetch_latency_p50_ms": ("goprowl_fetch_latency_p50_ms", "gauge", "median fetch latency"),
@@ -33,18 +37,29 @@ FAMILIES = {
 
 
 def prometheus_text(metrics: DataFrame) -> str:
-    """Render the LATEST crawl round of a ``crawl_metrics`` DataFrame as
-    Prometheus text exposition format (one sample per family, labelled
-    with the round)."""
+    """Render a ``crawl_metrics`` DataFrame as Prometheus text exposition:
+    counter families as cumulative sums over all rounds, gauges from the
+    latest round, plus a ``goprowl_round`` gauge."""
+    from pyspark.sql import functions as F
+
     rows = metrics.orderBy(metrics["round"].desc()).limit(1).collect()
     if not rows:
         return ""
-    row = rows[0].asDict()
-    out = []
+    latest = rows[0].asDict()
+    counter_cols = [c for c, (_, k, _h) in FAMILIES.items() if k == "counter"]
+    sums = metrics.agg(
+        *[F.sum(c).alias(c) for c in counter_cols]
+    ).collect()[0].asDict()
+    out = [
+        "# HELP goprowl_round current crawl round",
+        "# TYPE goprowl_round gauge",
+        f"goprowl_round {latest['round']}",
+    ]
     for col, (name, kind, help_) in FAMILIES.items():
+        value = sums[col] if kind == "counter" else latest[col]
         out.append(f"# HELP {name} {help_}")
         out.append(f"# TYPE {name} {kind}")
-        out.append(f'{name}{{round="{row["round"]}"}} {row[col]}')
+        out.append(f"{name} {value}")
     return "\n".join(out) + "\n"
 
 

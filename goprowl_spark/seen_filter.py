@@ -80,16 +80,19 @@ def update_blooms(
     n_buckets: int = DEFAULT_N_BUCKETS,
     bits_per_bucket: int = DEFAULT_BITS_PER_BUCKET,
     gen: int = 0,
-    emit_untouched: bool = False,
+    emit_untouched: bool = True,
 ) -> DataFrame:
     """Merge newly-seen url hashes into their buckets' blobs.
 
     ``seen_bloom``: schemas.SEEN_BLOOM (may hold several generations per
     bucket; latest wins); ``new_hashes``: any df with a ``url_hash`` column.
-    Emits ONLY the touched buckets (a delta stamped ``gen``) unless
-    ``emit_untouched`` (compaction: every bucket re-emitted at ``gen`` so
-    the result replaces the table). ``n_items`` counts hashes inserted —
-    an upper bound on distinct members.
+    By default the result is a FULL merged table (safe to chain / commit
+    as a replacement — no bucket is ever silently dropped). Pass
+    ``emit_untouched=False`` for the delta form: only buckets receiving
+    new hashes are emitted, stamped ``gen``, to be APPENDED to the prior
+    table (latest generation wins on read — the crawl's per-round commit
+    shape, see probe_and_update). ``n_items`` counts hashes inserted — an
+    upper bound on distinct members.
     """
     hashed = new_hashes.select(
         F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int").alias("bucket"),

@@ -117,13 +117,24 @@ class DocumentStore:
         if sid is None:
             return 0
         entry = manifest["snapshots"].get(str(sid), {"tables": {}})
-        paths = entry["tables"].get(TABLE)
-        if paths is None:
+        e = entry["tables"].get(TABLE)
+        if e is None:
             return 0
         total = 0
-        for p in paths if isinstance(paths, list) else [paths]:
+        for p in self.catalog._entry_paths(e):
             for root, _, files in os.walk(p):
                 total += sum(
                     os.path.getsize(os.path.join(root, f)) for f in files
                 )
         return total
+
+    def has_index(self) -> bool:
+        """Whether maintained postings tables exist in the current
+        snapshot (a crawl without maintain_index leaves none)."""
+        manifest = self.catalog._read_manifest()
+        sid = manifest["current"]
+        if sid is None:
+            return False
+        return POSTINGS in manifest["snapshots"].get(str(sid), {"tables": {}})[
+            "tables"
+        ]

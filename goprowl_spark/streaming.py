@@ -88,6 +88,18 @@ def sessionize_stream(
     checkpointed restart (state stitches sessions across runs) are pinned
     in tests/test_streaming.py.
 
+    Semantics notes: (1) gap decisions use second-truncated epochs — the
+    SAME truncation the batch sessionizer's ``cast("long")`` applies, so
+    the two agree at any timestamp precision; (2) an event so late it
+    belongs to an ALREADY-FLUSHED session starts a new session — the
+    unavoidable streaming/batch divergence, bounded by the watermark
+    (events inside the watermark merge correctly, extending the open
+    session in either direction); (3) after a timeout flush a tiny inert
+    marker row remains per user to keep session numbering stable across
+    idle periods and restarts — state grows with distinct users ever
+    seen, the deliberate price of batch-identical session ids (drop the
+    marker and ids restart after every idle gap).
+
     ``events_path`` may be a single parquet file or a directory (new files
     appearing in the directory are consumed on the next run — the restart
     path). With ``checkpoint_dir``/``sink_dir`` the query writes durable
@@ -137,6 +149,9 @@ def sessionize_stream(
                     sid += 1
                     start, n = t, 0
                 n += 1
+                # late events inside the watermark merge into the open
+                # session and may extend it in EITHER direction
+                start = min(start, t)
                 end = max(end, t)
             state.update((start, end, n, sid))
             state.setTimeoutTimestamp((end + gap_s) * 1000)

@@ -143,12 +143,20 @@ def test_prometheus_export(spark, tmp_path):
     from goprowl_spark import metrics_export, schemas
 
     metrics = spark.createDataFrame(
-        [(2, 100, 50, 48, 2, 150, 120, 30, 90, 500, 0.25, 12.0, 40.0, 3.5)],
+        [
+            (1, 80, 40, 39, 1, 100, 70, 30, 60, 300, 0.3, 10.0, 30.0, 2.0),
+            (2, 100, 50, 48, 2, 150, 120, 30, 90, 500, 0.25, 12.0, 40.0, 3.5),
+        ],
         schemas.CRAWL_METRICS,
     )
     text = metrics_export.prometheus_text(metrics)
-    assert 'goprowl_pages_visited_total{round="2"} 50' in text
-    assert "# TYPE goprowl_frontier_size gauge" in text
+    # counters are cumulative over all rounds (monotone — rate() works)
+    assert "goprowl_pages_visited_total 90" in text
+    assert "goprowl_fetch_ok_total 87" in text
+    # gauges are the latest round's value; the round is its own gauge
+    assert "goprowl_frontier_size 100" in text
+    assert "goprowl_round 2" in text
+    assert "# TYPE goprowl_pages_visited_total counter" in text
     out = tmp_path / "goprowl.prom"
     metrics_export.write_textfile(metrics, str(out))
     assert out.read_text() == text

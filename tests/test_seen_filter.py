@@ -73,7 +73,9 @@ def test_bloom_delta_latest_generation_wins(spark):
     b = _urls(spark, 100, 200)
     empty = spark.createDataFrame([], seen_filter.schemas.SEEN_BLOOM)
     g1 = seen_filter.update_blooms(empty, a, bits_per_bucket=1 << 14, gen=1)
-    delta2 = seen_filter.update_blooms(g1, b, bits_per_bucket=1 << 14, gen=2)
+    delta2 = seen_filter.update_blooms(
+        g1, b, bits_per_bucket=1 << 14, gen=2, emit_untouched=False
+    )
     # simulate the appended table: generation-1 rows PLUS generation-2 delta
     merged = g1.unionByName(delta2)
     probed = seen_filter.probe_blooms(
@@ -103,3 +105,18 @@ def test_probe_and_update_matches_split_path(spark):
         cands, blooms.unionByName(delta), bits_per_bucket=1 << 14
     )
     assert reprobe.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_update_blooms_full_merge_keeps_untouched_buckets(spark):
+    # default (full-table) form: chaining a SPARSE second batch must not
+    # drop untouched buckets (regression: the delta form under the same
+    # signature silently lost them -> Bloom false negatives)
+    a = _urls(spark, 0, 1000)
+    sparse = _urls(spark, 1000, 1005)  # touches only a few buckets
+    empty = spark.createDataFrame([], seen_filter.schemas.SEEN_BLOOM)
+    b1 = seen_filter.update_blooms(empty, a, bits_per_bucket=1 << 14)
+    b2 = seen_filter.update_blooms(b1, sparse, bits_per_bucket=1 << 14)
+    probed = seen_filter.probe_blooms(
+        _urls(spark, 0, 1005), b2, bits_per_bucket=1 << 14
+    )
+    assert probed.where(~F.col("maybe_seen")).count() == 0
