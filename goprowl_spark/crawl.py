@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from goprowl_spark import schemas, seen_filter
+from goprowl_spark import tables as tables_mod
 from goprowl_spark.parse import extract_links, with_document_columns
 from goprowl_spark.politeness import apply_robots, pop_batch
 from goprowl_spark.tables import SnapshotCatalog
@@ -429,28 +430,28 @@ class CrawlEngine:
 
         # wave 5: per-partition lineage counters (north_star requirement;
         # also the skew-diagnosis signal — a hot host shows up as one
-        # partition dwarfing the rest).
-        def plin(df: DataFrame, name: str) -> DataFrame:
-            return (
-                df.groupBy(F.spark_partition_id().alias("partition_id"))
-                .agg(F.count("*").alias("rows"))
-                .select(
-                    F.lit(r).alias("round"),
-                    F.lit(name).alias("table"),
-                    "partition_id",
-                    "rows",
-                )
-            )
-
+        # partition dwarfing the rest). Both the lineage and the metrics
+        # row are METADATA-SIZED, so they are written straight from the
+        # driver (pyarrow, parquet footers) — at 16 cores the tail of tiny
+        # Spark jobs was the round's largest non-scaling cost. Lineage
+        # comes from the just-written files' footers: one file per write
+        # task, so file row counts ARE the per-partition counts.
         lineage_path = self.catalog.stage_path(sid, "partition_lineage")
-        lineage_df = plin(new_entries, "frontier_new").unionByName(
-            plin(docs_stored, "documents_new")
+        lineage_rows = [
+            (r, "frontier_new", i, n)
+            for i, n in tables_mod.parquet_file_rows(delta_path)
+        ] + [
+            (r, "documents_new", i, n)
+            for i, n in tables_mod.parquet_file_rows(docs_path)
+        ]
+        tables_mod.write_local_parquet(
+            lineage_rows, schemas.PARTITION_LINEAGE, lineage_path
         )
 
         prev_seen = int(props.get("seen_count", 0))
         n_seen = prev_seen + n_new
         metrics_path = self.catalog.stage_path(sid, "crawl_metrics")
-        metrics_df = self.spark.createDataFrame(
+        tables_mod.write_local_parquet(
             [
                 (
                     r,
@@ -470,15 +471,14 @@ class CrawlEngine:
                 )
             ],
             schemas.CRAWL_METRICS,
-        ).coalesce(1)
+            metrics_path,
+        )
 
-        # waves 3-6 are all small writes over hot caches — run them as
-        # concurrent jobs so the round pays one job latency, not four
-        # (the big docs/seen writes above stay sequential: measured at
+        # remaining tail writes are real (distributed) tables — run them as
+        # concurrent jobs so the round pays one job latency, not several
+        # (the big docs/delta writes above stay sequential: measured at
         # local[16], concurrent big writes contend and lose).
-        # tiny tables coalesce to one task — a 30-row lineage frame written
-        # as 16+ tasks costs more scheduling than writing (anti-scales)
-        tail = [(lineage_path, lineage_df.coalesce(1)), (metrics_path, metrics_df)]
+        tail = []
         postings_path = stats_path = None
         if cfg.maintain_index:
             from goprowl_spark import ranking
@@ -496,14 +496,15 @@ class CrawlEngine:
                 F.col("__bucket").alias("bucket"), "filter_blob", "n_items", "gen"
             )
             tail.append((bloom_path, bloom_delta))
-        from concurrent.futures import ThreadPoolExecutor
+        if tail:
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=len(tail)) as pool:
-            list(
-                pool.map(
-                    lambda t: t[1].write.mode("overwrite").parquet(t[0]), tail
+            with ThreadPoolExecutor(max_workers=len(tail)) as pool:
+                list(
+                    pool.map(
+                        lambda t: t[1].write.mode("overwrite").parquet(t[0]), tail
+                    )
                 )
-            )
         mark("tail_writes")
 
         tables = {"frontier": frontier_path}

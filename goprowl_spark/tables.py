@@ -223,3 +223,59 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     return target.join(updates.select(key), on=key, how="left_anti").unionByName(
         updates
     )
+
+
+# ---------------------------------------------------------------- local write
+
+_PA_TYPES = None
+
+
+def write_local_parquet(rows: list[tuple], schema: T.StructType, path: str) -> None:
+    """Write a METADATA-SIZED table (metrics row, lineage counters) as one
+    parquet file directly from the driver — no Spark job.
+
+    A 1-row metrics frame or a 50-row lineage frame costs more in job
+    scheduling than in IO; at 16 cores the tail of tiny writes was the
+    round's largest non-scaling term. The pyarrow schema maps Spark types
+    EXACTLY (int32/int64/float64/string) so later `spark.read.parquet`
+    over mixed Spark-written + driver-written files of the same table
+    never sees a physical-type conflict."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    global _PA_TYPES
+    if _PA_TYPES is None:
+        _PA_TYPES = {
+            T.IntegerType(): pa.int32(),
+            T.LongType(): pa.int64(),
+            T.DoubleType(): pa.float64(),
+            T.FloatType(): pa.float32(),
+            T.StringType(): pa.string(),
+            T.BooleanType(): pa.bool_(),
+        }
+    pa_schema = pa.schema(
+        [(f.name, _PA_TYPES[f.dataType]) for f in schema.fields]
+    )
+    os.makedirs(path, exist_ok=True)
+    cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+    table = pa.Table.from_arrays(
+        [pa.array(c, type=t) for c, t in zip(cols, pa_schema.types)],
+        schema=pa_schema,
+    )
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+
+
+def parquet_file_rows(path: str) -> list[tuple[int, int]]:
+    """(file_index, num_rows) per data file of a parquet directory, read
+    from footers driver-side (no Spark job) — the per-partition lineage of
+    a just-written table (one file per write task)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    files = sorted(
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    for i, fname in enumerate(files):
+        out.append((i, pq.ParquetFile(os.path.join(path, fname)).metadata.num_rows))
+    return out
