@@ -24,7 +24,14 @@ from goprowl_spark import corpus, ranking
 from goprowl_spark import search as gsearch
 from goprowl_spark import streaming
 from goprowl_spark.crawl import CrawlConfig, CrawlEngine
-from goprowl_spark.operators import dedup, multimodal, sessions, similarity, textstats
+from goprowl_spark.operators import (
+    curation,
+    dedup,
+    multimodal,
+    sessions,
+    similarity,
+    textstats,
+)
 from goprowl_spark.parse import parse_spans_udf
 
 CORPUS_MULT = 10
@@ -414,6 +421,47 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters (distributed min-label
+    propagation) → one canonical doc per cluster; every doc mapped."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(
+        docs,
+        threshold=JACCARD_THRESHOLD,
+        text_col="text",
+        df_cap=JACCARD_DF_CAP,
+    )
+    return curation.dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
+SAMPLE_RATE = 250  # default per-mille keep rate
+SAMPLE_STRATA = {"src0": 1000, "src1": 100, "src2": 0}  # per-source overrides
+TOKEN_BUDGET = 1500  # per-source ws-token quota for the mixture
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket sampling with per-source rate overrides
+    (map-only; same sample on every run / engine / cluster size)."""
+    return (
+        curation.hash_sample(
+            _docs(spark, sf_dir),
+            SAMPLE_RATE,
+            strata_col="source",
+            strata_rates=SAMPLE_STRATA,
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token quotas in deterministic-hash order (the training
+    mixture step: each source fills its budget in parallel)."""
+    return curation.token_budget_mix(_docs(spark, sf_dir), TOKEN_BUDGET).orderBy(
+        "doc_id"
+    )
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,9 +888,10 @@ LIMIT {IVF_K}
 """
 
 
-def _jaccard_oracle() -> str:
-    return f"""
-WITH toks AS (
+def _jaccard_ctes() -> str:
+    """Shared CTE chain ending in ``pairs`` (id_a, id_b, jaccard) — used by
+    the pair oracle and embedded under WITH RECURSIVE by the cluster oracle."""
+    return f"""toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
                      t -> t <> '') AS arr
@@ -861,14 +910,40 @@ inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-)
-SELECT id_a, id_b,
-       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
-ORDER BY id_a, id_b
+),
+pairs AS (
+  SELECT id_a, id_b,
+         round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+)"""
+
+
+def _jaccard_oracle() -> str:
+    return f"WITH {_jaccard_ctes()} SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"
+
+
+def _cluster_oracle() -> str:
+    """Connected components over the near-dup pair graph as a recursive CTE:
+    reach(node, root) saturates the undirected edge closure, min(root) is
+    the cluster-canonical id — exactly dedup_clusters' label-propagation
+    fixpoint."""
+    return f"""
+WITH RECURSIVE {_jaccard_ctes()},
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS node, a AS root FROM edges
+  UNION
+  SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, min(root) AS comp FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.comp, d.doc_id) AS canonical_id,
+       CAST(coalesce(c.comp, d.doc_id) <> d.doc_id AS BIGINT) AS is_dup
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+ORDER BY d.doc_id
 """
 
 
@@ -984,6 +1059,16 @@ SELECT min(doc_id) AS keep_id, md5(text) AS text_hash, count(*) AS dup_count
 FROM documents GROUP BY md5(text) ORDER BY text_hash
 """,
     "dedup_ngram_jaccard": _jaccard_oracle(),
+    "dedup_clusters": _cluster_oracle(),
+    "sample_stratified": curation.hash_sample_sql(
+        "documents",
+        SAMPLE_RATE,
+        strata_col="source",
+        strata_rates=SAMPLE_STRATA,
+        select="doc_id, source",
+    )
+    + " ORDER BY doc_id",
+    "token_budget_mix": curation.token_budget_mix_sql("documents", TOKEN_BUDGET),
     "dedup_minhash": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "emb_cosine_topk": _emb_cosine_topk_oracle(),
@@ -1025,6 +1110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": q_stream_windowed_counts,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "sample_stratified": q_sample_stratified,
+        "token_budget_mix": q_token_budget_mix,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "emb_cosine_topk": q_emb_cosine_topk,
