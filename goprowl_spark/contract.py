@@ -688,7 +688,9 @@ sh AS (SELECT doc_id, shingle FROM sh_all),"""
   FROM documents
 ),
 sh_all AS (
-  SELECT DISTINCT doc_id, array_to_string(arr[g:g+2], ' ') AS shingle
+  SELECT DISTINCT doc_id, """
+        + dedup.h60_sql("array_to_string(arr[g:g+2], ' ')")
+        + """ AS shingle
   FROM toks, unnest(generate_series(1, greatest(len(arr) - 2, 0))) t(g)
 ),"""
         + cap
@@ -708,7 +710,7 @@ def _minhash_oracle(k: int = 64, bands: int = 16) -> str:
     return f"""
 WITH {_shingle_cte(None)},
 hs AS (
-  SELECT doc_id, {dedup.h60_sql('shingle')} % {P} AS h FROM sh
+  SELECT doc_id, shingle % {P} AS h FROM sh
 ),
 perms(p, a, b) AS (VALUES {perm_values}),
 sig AS (
@@ -891,21 +893,7 @@ LIMIT {IVF_K}
 def _jaccard_ctes() -> str:
     """Shared CTE chain ending in ``pairs`` (id_a, id_b, jaccard) — used by
     the pair oracle and embedded under WITH RECURSIVE by the cluster oracle."""
-    return f"""toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
-                     t -> t <> '') AS arr
-  FROM documents
-),
-sh_all AS (
-  SELECT DISTINCT doc_id, array_to_string(arr[g:g+2], ' ') AS shingle
-  FROM toks, unnest(generate_series(1, greatest(len(arr) - 2, 0))) t(g)
-),
-sh AS (
-  SELECT doc_id, shingle FROM sh_all
-  QUALIFY count(*) OVER (PARTITION BY shingle) <= {JACCARD_DF_CAP}
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    return f"""{_shingle_cte(JACCARD_DF_CAP)},
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -68,11 +68,24 @@ def word_shingles(text_col, n: int = 3):
 
 
 def shingle_postings(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hashed: bool = False,
 ) -> DataFrame:
+    """(doc_id, shingle) postings. With ``hashed=True`` the shingle column is
+    the 60-bit md5-derived :func:`h60` long instead of the string — every
+    downstream shuffle/sort/join key becomes 8 bytes instead of a ~30-byte
+    string (the dominant cost of the inverted-index self-joins at scale).
+    The DuckDB oracles hash with the identical h60_sql expression, so both
+    engines agree bit-for-bit even on (astronomically rare) collisions."""
+    arr = word_shingles(F.col(text_col), n)
+    if hashed:
+        arr = F.array_distinct(F.transform(arr, h60))
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        F.explode(arr).alias("shingle"),
     )
 
 
@@ -97,7 +110,7 @@ def jaccard_pairs(
     # no groupBy + join-back passes (measured: the join-back encoding of
     # the cap cost more than the fan-out it pruned at moderate SF). The
     # self-join then carries both sizes, so no post-join size lookups.
-    sh = shingle_postings(df, id_col, text_col, n)
+    sh = shingle_postings(df, id_col, text_col, n, hashed=True)
     if df_cap is not None:
         sh = (
             sh.withColumn(
@@ -179,8 +192,8 @@ def minhash_signatures(
     side) aggregation collapses to one row per doc per partition before the
     single shuffle; docs with no shingles produce no row."""
     P = MINHASH_PRIME
-    hs = shingle_postings(df, id_col, text_col, n).select(
-        "doc_id", F.pmod(h60(F.col("shingle")), F.lit(P)).alias("h")
+    hs = shingle_postings(df, id_col, text_col, n, hashed=True).select(
+        "doc_id", F.pmod(F.col("shingle"), F.lit(P)).alias("h")
     )
     aggs = [
         F.min(F.pmod(F.col("h") * a + b, F.lit(P))).alias(f"__m{p}")
@@ -242,7 +255,7 @@ def minhash_lsh_pairs(
     )
     # exact verification of the (small) candidate set; sizes ride along as
     # window counts (same shape as jaccard_pairs — no size join-backs)
-    sh = shingle_postings(df, id_col, text_col, 3).withColumn(
+    sh = shingle_postings(df, id_col, text_col, 3, hashed=True).withColumn(
         "n_shingles", F.count("*").over(Window.partitionBy("doc_id"))
     )
     verified = (
