@@ -464,6 +464,23 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_MIN = 0.61  # quality-score floor for the pipeline (drops ~10%)
+PIPELINE_BUDGET = 800  # per-source ws-token quota for the pipeline mixture
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end curation flow: quality filter → exact dedup →
+    near-dup cluster canonicals → per-source token-budget mixture, composed
+    from the individually-oracled operators and verified as a whole."""
+    return curation.curation_pipeline(
+        _docs(spark, sf_dir),
+        QUALITY_MIN,
+        PIPELINE_BUDGET,
+        jaccard_threshold=JACCARD_THRESHOLD,
+        df_cap=JACCARD_DF_CAP,
+    ).orderBy("doc_id")
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs. Signatures are md5-derived (dedup.h60 +
     integer permutations) so the DuckDB oracle replays banding, candidate
@@ -667,7 +684,7 @@ ORDER BY id_a, id_b
 """
 
 
-def _shingle_cte(df_cap: int | None) -> str:
+def _shingle_cte(df_cap: int | None, table: str = "documents") -> str:
     """Shared shingle/sizes CTE fragment (3-word shingles, optional
     stop-shingle cap) — mirrors dedup.shingle_postings exactly."""
     cap = (
@@ -681,11 +698,11 @@ sh AS (
 sh AS (SELECT doc_id, shingle FROM sh_all),"""
     )
     return (
-        """toks AS (
+        f"""toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
                      t -> t <> '') AS arr
-  FROM documents
+  FROM {table}
 ),
 sh_all AS (
   SELECT DISTINCT doc_id, """
@@ -890,10 +907,11 @@ LIMIT {IVF_K}
 """
 
 
-def _jaccard_ctes() -> str:
+def _jaccard_ctes(table: str = "documents") -> str:
     """Shared CTE chain ending in ``pairs`` (id_a, id_b, jaccard) — used by
-    the pair oracle and embedded under WITH RECURSIVE by the cluster oracle."""
-    return f"""{_shingle_cte(JACCARD_DF_CAP)},
+    the pair oracle and embedded under WITH RECURSIVE by the cluster and
+    pipeline oracles."""
+    return f"""{_shingle_cte(JACCARD_DF_CAP, table)},
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -911,6 +929,50 @@ pairs AS (
 
 def _jaccard_oracle() -> str:
     return f"WITH {_jaccard_ctes()} SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"
+
+
+def _pipeline_oracle() -> str:
+    """Replay of curation.curation_pipeline end to end: quality floor →
+    min-id winner per content hash → recursive-CTE closure of the jaccard
+    pair graph (canonicals only) → per-source token-budget window."""
+    hkey = curation.h60_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH RECURSIVE
+good AS (
+  SELECT doc_id
+  FROM ({textstats.quality_scores_sql('documents', 'doc_id', 'text')})
+  WHERE quality >= {QUALITY_MIN}
+),
+kept0 AS (SELECT d.doc_id, d.text, d.source FROM documents d JOIN good USING (doc_id)),
+winners AS (SELECT min(doc_id) AS doc_id FROM kept0 GROUP BY md5(text)),
+kept AS (SELECT k.* FROM kept0 k JOIN winners USING (doc_id)),
+{_jaccard_ctes('kept')},
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS node, a AS root FROM edges
+  UNION
+  SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, min(root) AS comp FROM reach GROUP BY node),
+canon AS (
+  SELECT k.doc_id, k.text, k.source
+  FROM kept k LEFT JOIN comp c ON c.node = k.doc_id
+  WHERE coalesce(c.comp, k.doc_id) = k.doc_id
+),
+sized AS (
+  SELECT doc_id, source, len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
+         {hkey} AS hkey
+  FROM canon
+),
+running AS (
+  SELECT doc_id, source, ws_tokens,
+         sum(ws_tokens) OVER (PARTITION BY source ORDER BY hkey ASC, doc_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM sized
+)
+SELECT doc_id, source, ws_tokens, cum_tokens FROM running
+WHERE cum_tokens <= {PIPELINE_BUDGET} ORDER BY doc_id
+"""
 
 
 def _cluster_oracle() -> str:
@@ -1057,6 +1119,7 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
     )
     + " ORDER BY doc_id",
     "token_budget_mix": curation.token_budget_mix_sql("documents", TOKEN_BUDGET),
+    "curation_pipeline": _pipeline_oracle(),
     "dedup_minhash": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "emb_cosine_topk": _emb_cosine_topk_oracle(),
@@ -1101,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "sample_stratified": q_sample_stratified,
         "token_budget_mix": q_token_budget_mix,
+        "curation_pipeline": q_curation_pipeline,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "emb_cosine_topk": q_emb_cosine_topk,

@@ -195,6 +195,48 @@ def token_budget_mix(
     )
 
 
+def curation_pipeline(
+    docs: DataFrame,
+    quality_min: float,
+    budget_tokens: int,
+    jaccard_threshold: float = 0.25,
+    df_cap: int | None = 100,
+) -> DataFrame:
+    """The end-to-end training-corpus curation flow, composed from the
+    individual operators (each independently oracle-checked):
+
+        quality filter → exact dedup (min-id winner per content hash)
+        → near-dup clusters (Jaccard pairs → connected components,
+          keep each cluster's canonical doc)
+        → per-source token-budget mixture
+
+    Expects the standard documents columns (doc_id, text, source). Returns
+    (doc_id, source, ws_tokens, cum_tokens) — the selected mixture. Every
+    stage is DataFrame algebra; at scale each arrow above is one
+    materialization boundary (write the survivors between stages)."""
+    from goprowl_spark.operators import dedup as _dedup
+    from goprowl_spark.operators import textstats as _textstats
+
+    good = _textstats.quality_scores(docs).where(
+        F.col("quality") >= quality_min
+    ).select("doc_id")
+    kept0 = docs.join(good, "doc_id", "left_semi")
+    winners = (
+        kept0.groupBy(F.md5(F.col("text")).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = kept0.join(winners, "doc_id", "left_semi")
+    pairs = _dedup.jaccard_pairs(
+        kept, threshold=jaccard_threshold, text_col="text", df_cap=df_cap
+    )
+    canon = dedup_clusters(kept, pairs).where(F.col("is_dup") == 0).select(
+        "doc_id"
+    )
+    final = kept.join(canon, "doc_id", "left_semi")
+    return token_budget_mix(final, budget_tokens)
+
+
 def token_budget_mix_sql(
     table: str,
     budget_tokens: int,
