@@ -319,7 +319,7 @@ def page_columns(df: DataFrame, i: Column, n: int) -> DataFrame:
     )
 
 
-def make_fetcher(n: int):
+def make_fetcher(n: int, fuse_parse: bool = True):
     """A per-batch synthetic fetcher: computes page content directly from
     the URL's page index — work strictly proportional to the fetch batch,
     like real HTTP (no corpus-table scan or join at all).
@@ -331,8 +331,21 @@ def make_fetcher(n: int):
     Python functions the trace oracle uses, so fetcher/oracle parity is by
     construction. URLs that don't round-trip to a valid page index
     fetch-fail with status 0 (reference OnError path, colly.go:64-71).
+
+    With ``fuse_parse`` (the default) the page is parsed into its span
+    sequence in the SAME Python pass and the html string never crosses the
+    Arrow boundary at all — the fetch+parse wave pays ONE Python stage and
+    ships spans once, instead of shipping html out of the fetcher, back
+    into the parse UDF, and spans out again (measured: the 2× round trip
+    of page bytes was the crawl's largest scalable-but-slow term). Spans
+    come from the same ``parse.parse_spans`` the UDF uses, so both shapes
+    produce bit-identical documents; ``fuse_parse=False`` keeps the raw
+    (url, depth, status, html, fetch_latency_ms) HTTP shape.
     """
     import pandas as pd
+
+    from goprowl_spark import schemas
+    from goprowl_spark.parse import parse_spans
 
     def gen(batches):
         for pdf in batches:
@@ -352,20 +365,36 @@ def make_fetcher(n: int):
                     statuses.append(status(i))
                     htmls.append(html(i, n))
                     lats.append(latency_ms(i))
-            yield pd.DataFrame(
-                {
-                    "url": pdf["url"],
-                    "depth": pdf["depth"],
-                    "status": pd.Series(statuses, dtype="int32"),
-                    "html": htmls,
-                    "fetch_latency_ms": pd.array(lats, dtype="Int32"),
-                }
-            )
+            cols = {
+                "url": pdf["url"],
+                "depth": pdf["depth"],
+                "status": pd.Series(statuses, dtype="int32"),
+                "fetch_latency_ms": pd.array(lats, dtype="Int32"),
+            }
+            if fuse_parse:
+                cols["spans"] = pd.Series(
+                    [
+                        parse_spans(h, u) if s == 200 else []
+                        for u, s, h in zip(pdf["url"], statuses, htmls)
+                    ],
+                    dtype="object",
+                )
+            else:
+                cols["html"] = htmls
+            yield pd.DataFrame(cols)
+
+    span_t = schemas.DOCUMENTS["spans"].dataType.simpleString()
+    fused_schema = (
+        "url string, depth int, status int, fetch_latency_ms int, "
+        f"spans {span_t}"
+    )
+    raw_schema = (
+        "url string, depth int, status int, fetch_latency_ms int, html string"
+    )
 
     def fetch(batch: DataFrame) -> DataFrame:
         return batch.select("url", "depth").mapInPandas(
-            gen,
-            schema="url string, depth int, status int, html string, fetch_latency_ms int",
+            gen, schema=fused_schema if fuse_parse else raw_schema
         )
 
     return fetch

@@ -144,9 +144,14 @@ def with_document_columns(fetched: DataFrame, round_no: int) -> DataFrame:
         F.filter(spans, lambda s: s["kind"] == F.lit("link")),
         lambda s: s["media_ref"],
     )
+    ok = fetched.where(F.col("status") == 200)
+    if "spans" not in fetched.columns:
+        # raw HTTP shape: parse here (fused fetchers ship spans directly
+        # and the page bytes never cross the Arrow boundary — see
+        # corpus.make_fetcher(fuse_parse=True))
+        ok = ok.withColumn("spans", parse_spans_udf(F.col("html"), F.col("url")))
     return (
-        fetched.where(F.col("status") == 200)
-        .withColumn("spans", parse_spans_udf(F.col("html"), F.col("url")))
+        ok
         .select(
             F.col("url").alias("doc_id"),
             "spans",

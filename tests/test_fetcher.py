@@ -28,7 +28,7 @@ def test_fetcher_crawl_equals_join_crawl(spark, tmp_path):
 
 
 def test_fetcher_invalid_urls_fail_fetch(spark):
-    fetch = corpus.make_fetcher(N)
+    fetch = corpus.make_fetcher(N, fuse_parse=False)
     batch = spark.createDataFrame(
         [
             (corpus.url(5), 1),                     # valid
