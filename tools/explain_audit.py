@@ -31,6 +31,11 @@ CHECKS = {
     # round-1 regression guard: pagination must be a partial top-k, never a
     # single-partition global row_number window
     "pagination": (["TakeOrderedAndProject"], ["Window"]),
+    # map-only curation stages: sampling must not shuffle at all
+    "sample_stratified": ([], ["Exchange hashpartitioning"]),
+    # the mixture's only wide op is the per-source window (+ the output
+    # sort); no joins, no extra aggregation passes
+    "token_budget_mix": (["Window"], ["Join"]),
 }
 
 
