@@ -58,6 +58,12 @@ class CrawlConfig:
     # the slowest task gates the whole wave. The repartition shuffles only
     # (url, depth) rows, negligible next to the per-URL fetch/parse work.
     fetch_tasks_per_core: int = 3
+    # ...but task count never exceeds what the batch can fill: small early
+    # rounds are BARRIER-bound, not straggler-bound (measured: a 75k-URL
+    # round 1 ran its fetch wave at 3.5x worse per-URL throughput than the
+    # 475k round 3 — pure per-task dispatch overhead), so tasks are capped
+    # at ~one per this many URLs, floored at one task per core.
+    fetch_target_urls_per_task: int = 10_000
     # index crawled pages on write (the reference indexes every page into
     # bleve via the storage adapter): appends per-round postings/doc_stats
     # deltas tokenized from ONLY the round's new docs — dedup guarantees
@@ -259,11 +265,15 @@ class CrawlEngine:
         # corpus table (web-archive shape). The batch side is bounded
         # (politeness budgets) so it broadcasts; page payloads never shuffle.
         if self.fetcher is not None:
-            if cfg.fetch_tasks_per_core > 1:
-                batch = batch.repartition(
-                    self.spark.sparkContext.defaultParallelism
-                    * cfg.fetch_tasks_per_core
-                )
+            par = self.spark.sparkContext.defaultParallelism
+            # n_frontier is the arithmetic pop-size estimate (exact for
+            # unbudgeted BFS; an upper bound under budgets)
+            want = min(
+                par * max(cfg.fetch_tasks_per_core, 1),
+                max(par, n_frontier // max(cfg.fetch_target_urls_per_task, 1) + 1),
+            )
+            if want > 1:
+                batch = batch.repartition(want)
             fetched = self.fetcher(batch)
         else:
             bcast_ok = n_frontier <= cfg.broadcast_pop_limit
