@@ -518,6 +518,37 @@ def q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+EMB_CLUSTER_THRESHOLD = 0.3  # cosine floor for the embedding dup-cluster graph
+
+
+def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup clusters: cosine-pair graph → connected
+    components → cluster-canonical per vector (dedup_clusters is generic
+    over any pair table — here the cosine pairs instead of Jaccard)."""
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.cosine_pairs(emb, threshold=EMB_CLUSTER_THRESHOLD)
+    return (
+        curation.dedup_clusters(
+            emb.select(F.col("vec_id").alias("doc_id")),
+            pairs.select("id_a", "id_b"),
+        )
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("canonical_id"),
+            F.col("is_dup"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermarked dropDuplicates over the events stream; bounded
+    input makes the result exactly SELECT DISTINCT of the keys."""
+    return streaming.stream_distinct_keys(
+        spark, f"{sf_dir}/events.parquet"
+    ).orderBy("user_id", "event_type")
+
+
 LSH_PAIRS_THRESHOLD = 0.45
 IVF_QUERY_ID, IVF_CENTROIDS, IVF_NPROBE, IVF_K = 7, 8, 3, 10
 
@@ -681,6 +712,40 @@ SELECT id_a, id_b, round(dot / (na * nb), 6) AS cosine
 FROM pairs
 WHERE dot / (na * nb) >= 0.5
 ORDER BY id_a, id_b
+"""
+
+
+def _emb_cluster_oracle() -> str:
+    """Connected components over the cosine-pair graph (same recursive-CTE
+    closure as the text cluster oracle, over the embeddings table)."""
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS y,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+cp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum(a.y * b.y) AS dot,
+         sqrt(sum(a.y * a.y)) AS na, sqrt(sum(b.y * b.y)) AS nb
+  FROM ev a JOIN ev b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM cp WHERE dot / (na * nb) >= {EMB_CLUSTER_THRESHOLD}
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS node, a AS root FROM edges
+  UNION
+  SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, min(root) AS comp FROM reach GROUP BY node)
+SELECT emb.vec_id,
+       coalesce(c.comp, emb.vec_id) AS canonical_id,
+       CAST(coalesce(c.comp, emb.vec_id) <> emb.vec_id AS BIGINT) AS is_dup
+FROM embeddings emb LEFT JOIN comp c ON c.node = emb.vec_id
+ORDER BY emb.vec_id
 """
 
 
@@ -1120,6 +1185,8 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
     + " ORDER BY doc_id",
     "token_budget_mix": curation.token_budget_mix_sql("documents", TOKEN_BUDGET),
     "curation_pipeline": _pipeline_oracle(),
+    "emb_dedup_clusters": _emb_cluster_oracle(),
+    "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
     "dedup_minhash": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "emb_cosine_topk": _emb_cosine_topk_oracle(),
@@ -1165,6 +1232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "token_budget_mix": q_token_budget_mix,
         "curation_pipeline": q_curation_pipeline,
+        "emb_dedup_clusters": q_emb_dedup_clusters,
+        "stream_dedup": q_stream_dedup,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "emb_cosine_topk": q_emb_cosine_topk,

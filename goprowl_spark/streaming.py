@@ -64,6 +64,47 @@ def windowed_event_counts(
     return spark.table(query_name)
 
 
+def stream_distinct_keys(
+    spark: SparkSession,
+    events_path: str,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "10 minutes",
+    query_name: str = "goprowl_stream_dedup",
+) -> DataFrame:
+    """Streaming exact dedup: watermarked ``dropDuplicates`` over an append
+    stream — the streaming-native form of the exact-dedup operator (first
+    occurrence per key passes through, duplicates are suppressed by the
+    dedup state store; the watermark bounds that state by event time, which
+    is what makes the operator runnable forever at scale).
+
+    Emits only the key columns, so the bounded-input result is exactly
+    ``SELECT DISTINCT keys`` — the driver oracle verifies values, not just
+    shape. Production: readStream from the log bus, writeStream append to
+    an Iceberg table with checkpointing; identical plan."""
+    schema = spark.read.parquet(events_path).schema
+    base_dir, _, fname = events_path.rpartition("/")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", fname)
+        .parquet(base_dir)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicates([*keys])
+        .select(*keys)
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def sessionize_stream(
     spark: SparkSession,
     events_path: str,

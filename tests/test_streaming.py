@@ -79,3 +79,21 @@ def test_stream_sessionize_checkpoint_restart(spark, tmp_path):
     # over they would be emitted split/renumbered and mismatch batch
     for k, v in got_rows.items():
         assert k in batch_rows and batch_rows[k] == v, f"session {k} wrong: {v}"
+
+
+def test_stream_distinct_keys_equals_batch_distinct(spark):
+    path = f"{SF_DIR}/events.parquet"
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in streaming.stream_distinct_keys(
+            spark, path, query_name="t_stream_dedup"
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(path)
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want
