@@ -107,6 +107,32 @@ def cmd_list(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run the end-to-end corpus-curation pipeline (quality floor → exact
+    dedup → near-dup cluster canonicals → per-source token budgets) over a
+    documents parquet; write the selected mixture."""
+    from goprowl_spark.operators import curation
+
+    spark = get_spark("goprowl-curate")
+    docs = spark.read.parquet(args.input)
+    out = curation.curation_pipeline(
+        docs,
+        args.quality_min,
+        args.budget_tokens,
+        jaccard_threshold=args.jaccard_threshold,
+        df_cap=args.df_cap,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    kept = spark.read.parquet(args.output)
+    summary = kept.agg(
+        F.count("*").alias("docs_kept"),
+        F.sum("ws_tokens").alias("tokens_kept"),
+        F.countDistinct("source").alias("sources"),
+    ).collect()[0]
+    print(json.dumps({k: int(summary[k]) for k in summary.asDict()}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="goprowl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -140,6 +166,15 @@ def main(argv: list[str] | None = None) -> int:
     l.add_argument("--workdir", required=True)
     l.add_argument("--format", choices=["table", "json", "simple"], default="table")
     l.set_defaults(fn=cmd_list)
+
+    cu = sub.add_parser("curate")
+    cu.add_argument("--input", required=True, help="documents parquet path")
+    cu.add_argument("--output", required=True, help="mixture parquet path")
+    cu.add_argument("--quality-min", type=float, default=0.0)
+    cu.add_argument("--budget-tokens", type=int, required=True)
+    cu.add_argument("--jaccard-threshold", type=float, default=0.25)
+    cu.add_argument("--df-cap", type=int, default=100)
+    cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)
