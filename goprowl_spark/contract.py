@@ -256,6 +256,27 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- storage ops
 
+BATCH_QUERIES = {
+    "q1": "spark data join",
+    "q2": "hash batch",
+    "q3": "window scan title",
+}
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N queries scored in ONE postings pass (the serving shape: one
+    broadcast of all query terms, one scan, (query_id, doc_id, score))."""
+    docs = _docs(spark, sf_dir)
+    postings = ranking.build_postings(docs, text_col="text")
+    stats = ranking.build_doc_stats(docs, text_col="text")
+    scored = ranking.bm25_scores_batch(
+        spark, postings, stats, docs.count(), BATCH_QUERIES
+    )
+    return scored.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    ).orderBy("query_id", "doc_id")
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).where(F.col("doc_id") == 42).select(
         "doc_id", "lang", "source", "n_chars"
@@ -1111,6 +1132,9 @@ FROM documents ORDER BY doc_id
 """,
     "tfidf_search": ranking.tfidf_oracle_sql("documents", "doc_id", "text", TFIDF_QUERY),
     "bm25_search": ranking.bm25_oracle_sql("documents", "doc_id", "text", BM25_QUERY),
+    "bm25_batch": ranking.bm25_batch_oracle_sql(
+        "documents", "doc_id", "text", BATCH_QUERIES
+    ),
     "point_lookup": "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
     "list_all": "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "type_filter": "SELECT doc_id, source FROM documents WHERE lang = 'en' ORDER BY doc_id",
@@ -1214,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "tfidf_search": q_tfidf,
         "bm25_search": q_bm25,
+        "bm25_batch": q_bm25_batch,
         "point_lookup": q_point_lookup,
         "list_all": q_list_all,
         "type_filter": q_type_filter,

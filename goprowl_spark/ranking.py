@@ -163,6 +163,98 @@ GROUP BY term, doc_id
 """
 
 
+def bm25_scores_batch(
+    spark: SparkSession,
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    total_docs: int,
+    queries: dict[str, str],
+    avgdl: float | None = None,
+) -> DataFrame:
+    """Score a BATCH of queries in one postings pass — the serving shape
+    for query throughput at scale: one broadcast of all query terms, one
+    scan/shuffle of the postings slice, (query_id, doc_id, score) out.
+    N queries cost ~one query's plan, not N sequential jobs.
+
+    df(term) is computed over DISTINCT terms first (a term shared by two
+    queries must not double-count its postings), then fanned out to the
+    per-query multiplicities."""
+    rows = []
+    for qid, q in sorted(queries.items()):
+        counts: dict[str, int] = {}
+        for t in tokenize(q):
+            counts[t] = counts.get(t, 0) + 1
+        rows.extend((qid, t, n) for t, n in counts.items())
+    terms = spark.createDataFrame(rows, "query_id string, term string, mult long")
+    distinct_terms = terms.select("term").distinct()
+    qpost = postings.join(F.broadcast(distinct_terms), "term").withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    )
+    if avgdl is None:
+        avgdl = doc_stats.agg(F.avg("doc_len")).collect()[0][0] or 0.0
+    n = F.lit(float(total_docs))
+    idf = F.log(1 + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf = F.col("tf").cast("double")
+    denom = tf + K1 * (1 - B + B * F.col("doc_len") / F.lit(float(avgdl)))
+    return (
+        qpost.join(F.broadcast(terms), "term")
+        .join(doc_stats, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("mult") * idf * (tf * (K1 + 1)) / denom).alias("term_score"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+
+
+def bm25_batch_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: dict[str, str],
+    round_to: int = 4,
+) -> str:
+    rows = []
+    for qid, q in sorted(queries.items()):
+        counts: dict[str, int] = {}
+        for t in tokenize(q):
+            counts[t] = counts.get(t, 0) + 1
+        rows.extend((qid, t, n) for t, n in counts.items())
+    terms_values = ", ".join(f"('{q}', '{t}', {n})" for q, t, n in rows)
+    return f"""
+WITH postings AS ({postings_sql(table, id_col, text_col)}),
+doc_stats AS (
+  SELECT {id_col} AS doc_id,
+         len(list_filter(regexp_split_to_array(lower({text_col}), '\\s+'),
+                         t -> t <> '')) AS doc_len
+  FROM {table}
+),
+qterms(query_id, term, mult) AS (VALUES {terms_values}),
+dterms AS (SELECT DISTINCT term FROM qterms),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM postings JOIN dterms USING (term) GROUP BY term
+),
+total AS (SELECT count(*) AS n FROM {table}),
+avg_len AS (SELECT avg(doc_len) AS avgdl FROM doc_stats)
+SELECT q.query_id, p.doc_id,
+       round(sum(q.mult * ln(1 + (t.n - d.df + 0.5) / (d.df + 0.5))
+                 * (p.tf * ({K1} + 1))
+                 / (p.tf + {K1} * (1 - {B} + {B} * s.doc_len / a.avgdl))),
+             {round_to}) AS score
+FROM postings p
+JOIN qterms q USING (term)
+JOIN dfs d USING (term)
+JOIN doc_stats s USING (doc_id)
+CROSS JOIN total t
+CROSS JOIN avg_len a
+GROUP BY q.query_id, p.doc_id
+ORDER BY query_id, doc_id
+"""
+
+
 def tfidf_oracle_sql(
     table: str, id_col: str, text_col: str, query: str, round_to: int = 4
 ) -> str:

@@ -152,3 +152,36 @@ def test_sql_oracles_match_spark(spark, docs_df, index):
             for r in R.bm25_scores(spark, postings, stats, len(DOCS), query).collect()
         }
         assert got == pytest.approx(oracle)
+
+
+def test_bm25_batch_matches_single_queries(spark):
+    from goprowl_spark import ranking as R
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark data join hash"),
+            (2, "data data window scan"),
+            (3, "hash batch title spark spark"),
+            (4, "window title scan scan data"),
+        ],
+        "doc_id long, text string",
+    )
+    postings = R.build_postings(docs, text_col="text")
+    stats = R.build_doc_stats(docs, text_col="text")
+    queries = {"a": "spark data", "b": "data window", "c": "hash"}
+    batch = {
+        (r["query_id"], r["doc_id"]): round(r["score"], 6)
+        for r in R.bm25_scores_batch(spark, postings, stats, 4, queries).collect()
+    }
+    for qid, q in queries.items():
+        single = {
+            (qid, r["doc_id"]): round(r["score"], 6)
+            for r in R.bm25_scores(spark, postings, stats, 4, q).collect()
+        }
+        for k, v in single.items():
+            assert batch[k] == v, k
+    assert len(batch) == sum(
+        1
+        for qid, q in queries.items()
+        for _ in R.bm25_scores(spark, postings, stats, 4, q).collect()
+    )
