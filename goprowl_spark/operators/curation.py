@@ -68,10 +68,22 @@ def connected_components(
         msgs = edges.join(labels, edges["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("comp")
         )
-        new_labels = (
+        stepped = (
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp ← comp(comp) — halves remaining path length,
+        # so long chains converge in O(log diameter) rounds, not O(diameter)
+        new_labels = (
+            stepped.join(
+                stepped.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("comp2")
+                ),
+                "comp",
+                "left",
+            )
+            .select("node", F.coalesce("comp2", "comp").alias("comp"))
             .localCheckpoint()
         )
         changed = (

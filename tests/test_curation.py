@@ -126,3 +126,25 @@ def test_token_budget_mix_greedy_prefix(spark):
     got = {r["doc_id"]: (r["source"], r["ws_tokens"], r["cum_tokens"]) for r in rows}
     assert got == want
     assert all(c <= budget for (_, _, c) in got.values())
+
+
+def test_connected_components_random_graphs(spark):
+    """Random graphs (incl. a 24-node chain — worst diameter) vs union-find;
+    pointer jumping must converge well inside max_iter."""
+    import random
+
+    rng = random.Random(7)
+    graphs = [
+        [(i, i + 1) for i in range(100, 124)],          # long chain
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(40)],
+        [(i, (i * 7) % 30) for i in range(30)],
+    ]
+    for edges in graphs:
+        edges = [(a, b) for a, b in edges if a != b]
+        got = {
+            r["node"]: r["comp"]
+            for r in C.connected_components(
+                spark.createDataFrame(edges, ["id_a", "id_b"]), max_iter=12
+            ).collect()
+        }
+        assert got == py_components(edges), edges
