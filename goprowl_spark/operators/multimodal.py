@@ -74,6 +74,42 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return w, h, c
 
 
+def parse_media_header(payload: bytes) -> tuple[int, int, int] | None:
+    """REAL (pure-Python) container sniffing: PNG IHDR, JPEG SOF0/1/2,
+    GIF logical screen, WAV fmt — returns (width, height, channels), or
+    None when the bytes are no known container (pixel decode still needs
+    a codec; header metadata does not)."""
+    import struct
+
+    if len(payload) >= 33 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is always the first chunk: length(4) 'IHDR' w(4) h(4)
+        # bitdepth(1) colortype(1)
+        if payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            color_type = payload[25]
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
+            return w, h, channels
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2: baseline/progressive
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return w, h, payload[i + 9]
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return None
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return w, h, 3
+    if len(payload) >= 24 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        n_channels = struct.unpack("<H", payload[22:24])[0]
+        return 0, 0, n_channels  # audio: no spatial dims
+    return None
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """mapInPandas decode stage: binary payload → typed metadata columns.
 
@@ -85,7 +121,12 @@ def decode_media(media: DataFrame) -> DataFrame:
         for pdf in batches:
             if _HAS_PIL and False:  # real path placeholder (no real images here)
                 raise NotImplementedError("real decode not wired in sandbox")
-            meta = [_fake_decode(p) for p in pdf["payload"]]
+            # real container headers decode for real (pure Python — PNG/
+            # JPEG/GIF/WAV); anything unrecognized gets the deterministic
+            # stub so synthetic pipelines still flow end-to-end
+            meta = [
+                parse_media_header(p) or _fake_decode(p) for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -71,3 +71,40 @@ def test_sample_frames_only_videos(spark):
     assert len(rows) == 3
     assert {r["frame_idx"] for r in rows} == {0, 1, 2}
     assert all(r["media_ref"].endswith(".mp4") for r in rows)
+
+
+def test_parse_media_header_real_containers():
+    import struct
+    import zlib
+
+    from goprowl_spark.operators.multimodal import parse_media_header
+
+    # real PNG: signature + IHDR chunk (320x200, RGBA)
+    ihdr = struct.pack(">II", 320, 200) + bytes([8, 6, 0, 0, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    assert parse_media_header(png) == (320, 200, 4)
+
+    # real JPEG: SOI + APP0 + SOF0 (baseline, 640x480, 3 components)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + bytes([8]) + struct.pack(
+        ">HH", 480, 640
+    ) + bytes([3]) + bytes(9)
+    assert parse_media_header(b"\xff\xd8" + app0 + sof0) == (640, 480, 3)
+
+    # real GIF89a logical screen 12x34
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + bytes(3)
+    assert parse_media_header(gif) == (12, 34, 3)
+
+    # real WAV fmt chunk, stereo
+    wav = (
+        b"RIFF" + bytes(4) + b"WAVE" + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HH", 1, 2) + bytes(12)
+    )
+    assert parse_media_header(wav) == (0, 0, 2)
+
+    # unknown container → None (stub decoder takes over)
+    assert parse_media_header(b"\x00" * 32) is None
