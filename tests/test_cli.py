@@ -1,0 +1,59 @@
+"""CLI surface end-to-end: crawl → search → list → curate as a user would
+run them (S13 display formats; cmd/crawl.go, cmd/search.go, cmd/list.go)."""
+
+from __future__ import annotations
+
+import json
+
+from goprowl_spark import cli, corpus
+
+
+def test_cli_crawl_search_list_curate(spark, tmp_path, capsys):
+    workdir = str(tmp_path / "crawl")
+
+    rc = cli.main(
+        [
+            "crawl",
+            "--seeds", corpus.url(0),
+            "--max-depth", "3",
+            "--workdir", workdir,
+            "--corpus-n", "300",
+        ]
+    )
+    assert rc == 0
+    crawl_out = json.loads(capsys.readouterr().out)
+    assert crawl_out["summary"]["rounds"] >= 2
+    assert crawl_out["rounds"], "no metrics rows"
+
+    # re-running without --resume must refuse, not silently continue
+    rc = cli.main(
+        ["crawl", "--seeds", corpus.url(0), "--max-depth", "3",
+         "--workdir", workdir, "--corpus-n", "300"]
+    )
+    assert rc == 2
+    capsys.readouterr()
+
+    rc = cli.main(["search", "--workdir", workdir, "--query", "page"])
+    assert rc == 0
+    search_out = json.loads(capsys.readouterr().out)
+    assert search_out["total"] > 0 and search_out["hits"]
+
+    rc = cli.main(["list", "--workdir", workdir, "--format", "simple"])
+    assert rc == 0
+    listed = capsys.readouterr().out.strip().splitlines()
+    assert len(listed) > 0
+
+    # curate over the testdata documents table
+    out_path = str(tmp_path / "mix.parquet")
+    rc = cli.main(
+        [
+            "curate",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out_path,
+            "--budget-tokens", "500",
+        ]
+    )
+    assert rc == 0
+    cur = json.loads(capsys.readouterr().out)
+    assert cur["docs_kept"] > 0 and cur["tokens_kept"] > 0
+    assert spark.read.parquet(out_path).count() == cur["docs_kept"]
