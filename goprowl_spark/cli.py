@@ -115,18 +115,21 @@ def cmd_curate(args) -> int:
 
     spark = get_spark("goprowl-curate")
     docs = spark.read.parquet(args.input)
-    out = curation.curation_pipeline(
+    mix = curation.curation_pipeline(
         docs,
         args.quality_min,
         args.budget_tokens,
         jaccard_threshold=args.jaccard_threshold,
         df_cap=args.df_cap,
     )
+    # the output IS the curated corpus: full document rows (text included)
+    # plus the mixture's token accounting columns
+    out = docs.join(mix.select("doc_id", "ws_tokens", "cum_tokens"), "doc_id")
     out.write.mode("overwrite").parquet(args.output)
     kept = spark.read.parquet(args.output)
     summary = kept.agg(
         F.count("*").alias("docs_kept"),
-        F.sum("ws_tokens").alias("tokens_kept"),
+        F.coalesce(F.sum("ws_tokens"), F.lit(0)).alias("tokens_kept"),
         F.countDistinct("source").alias("sources"),
     ).collect()[0]
     print(json.dumps({k: int(summary[k]) for k in summary.asDict()}))

@@ -643,7 +643,10 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_spans_udf(F.col("html"), F.col("url")).alias("spans"),
     )
     media = multimodal.media_table(docs)
-    decoded = multimodal.decode_media(media)
+    # sniff_headers=False: the synthetic payloads are sha2 random bytes and
+    # the oracle replays the stub formula — a payload accidentally sniffing
+    # as a JPEG would diverge nondeterministically at corpus scale
+    decoded = multimodal.decode_media(media, sniff_headers=False)
     return decoded.select(
         "doc_id",
         "media_ref",
@@ -755,19 +758,7 @@ cp AS (
 pairs AS (
   SELECT id_a, id_b FROM cp WHERE dot / (na * nb) >= {EMB_CLUSTER_THRESHOLD}
 ),
-edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
-reach AS (
-  SELECT a AS node, a AS root FROM edges
-  UNION
-  SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
-),
-comp AS (SELECT node, min(root) AS comp FROM reach GROUP BY node)
-SELECT emb.vec_id,
-       coalesce(c.comp, emb.vec_id) AS canonical_id,
-       CAST(coalesce(c.comp, emb.vec_id) <> emb.vec_id AS BIGINT) AS is_dup
-FROM embeddings emb LEFT JOIN comp c ON c.node = emb.vec_id
-ORDER BY emb.vec_id
-"""
+{_components_closure()}{_canonical_mapping_select('embeddings', 'vec_id', 'vec_id')}"""
 
 
 def _shingle_cte(df_cap: int | None, table: str = "documents") -> str:
@@ -1017,11 +1008,35 @@ def _jaccard_oracle() -> str:
     return f"WITH {_jaccard_ctes()} SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"
 
 
+def _components_closure() -> str:
+    """edges → reach → comp CTE chain: recursive closure over a preceding
+    ``pairs`` CTE (id_a, id_b); comp = min reachable id — exactly the
+    label-propagation fixpoint of curation.connected_components. Shared by
+    every cluster oracle so the closure semantics live in ONE place."""
+    return """edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS node, a AS root FROM edges
+  UNION
+  SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, min(root) AS comp FROM reach GROUP BY node)"""
+
+
+def _canonical_mapping_select(table: str, id_col: str, out_id: str) -> str:
+    """Per-row canonical mapping over a computed ``comp`` CTE."""
+    return f"""
+SELECT d.{id_col} AS {out_id},
+       coalesce(c.comp, d.{id_col}) AS canonical_id,
+       CAST(coalesce(c.comp, d.{id_col}) <> d.{id_col} AS BIGINT) AS is_dup
+FROM {table} d LEFT JOIN comp c ON c.node = d.{id_col}
+ORDER BY d.{id_col}
+"""
+
+
 def _pipeline_oracle() -> str:
     """Replay of curation.curation_pipeline end to end: quality floor →
     min-id winner per content hash → recursive-CTE closure of the jaccard
     pair graph (canonicals only) → per-source token-budget window."""
-    hkey = curation.h60_sql("CAST(doc_id AS VARCHAR)")
     return f"""
 WITH RECURSIVE
 good AS (
@@ -1033,31 +1048,14 @@ kept0 AS (SELECT d.doc_id, d.text, d.source FROM documents d JOIN good USING (do
 winners AS (SELECT min(doc_id) AS doc_id FROM kept0 GROUP BY md5(text)),
 kept AS (SELECT k.* FROM kept0 k JOIN winners USING (doc_id)),
 {_jaccard_ctes('kept')},
-edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
-reach AS (
-  SELECT a AS node, a AS root FROM edges
-  UNION
-  SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
-),
-comp AS (SELECT node, min(root) AS comp FROM reach GROUP BY node),
+{_components_closure()},
 canon AS (
   SELECT k.doc_id, k.text, k.source
   FROM kept k LEFT JOIN comp c ON c.node = k.doc_id
   WHERE coalesce(c.comp, k.doc_id) = k.doc_id
 ),
-sized AS (
-  SELECT doc_id, source, len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
-         {hkey} AS hkey
-  FROM canon
-),
-running AS (
-  SELECT doc_id, source, ws_tokens,
-         sum(ws_tokens) OVER (PARTITION BY source ORDER BY hkey ASC, doc_id ASC
-                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
-  FROM sized
-)
-SELECT doc_id, source, ws_tokens, cum_tokens FROM running
-WHERE cum_tokens <= {PIPELINE_BUDGET} ORDER BY doc_id
+{curation.token_budget_ctes('canon')}
+{curation.token_budget_select(PIPELINE_BUDGET)}
 """
 
 
@@ -1066,21 +1064,10 @@ def _cluster_oracle() -> str:
     reach(node, root) saturates the undirected edge closure, min(root) is
     the cluster-canonical id — exactly dedup_clusters' label-propagation
     fixpoint."""
-    return f"""
-WITH RECURSIVE {_jaccard_ctes()},
-edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
-reach AS (
-  SELECT a AS node, a AS root FROM edges
-  UNION
-  SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
-),
-comp AS (SELECT node, min(root) AS comp FROM reach GROUP BY node)
-SELECT d.doc_id,
-       coalesce(c.comp, d.doc_id) AS canonical_id,
-       CAST(coalesce(c.comp, d.doc_id) <> d.doc_id AS BIGINT) AS is_dup
-FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-ORDER BY d.doc_id
-"""
+    return (
+        f"WITH RECURSIVE {_jaccard_ctes()},\n{_components_closure()}"
+        f"{_canonical_mapping_select('documents', 'doc_id', 'doc_id')}"
+    )
 
 
 ORACLES: dict[str, str | None] = {

@@ -265,14 +265,16 @@ class CrawlEngine:
         # corpus table (web-archive shape). The batch side is bounded
         # (politeness budgets) so it broadcasts; page payloads never shuffle.
         if self.fetcher is not None:
-            par = self.spark.sparkContext.defaultParallelism
-            # n_frontier is the arithmetic pop-size estimate (exact for
-            # unbudgeted BFS; an upper bound under budgets)
-            want = min(
-                par * max(cfg.fetch_tasks_per_core, 1),
-                max(par, n_frontier // max(cfg.fetch_target_urls_per_task, 1) + 1),
-            )
-            if want > 1:
+            # fetch_tasks_per_core=1 means "keep the pop's natural
+            # partitioning" — no repartition shuffle at all
+            if cfg.fetch_tasks_per_core > 1:
+                par = self.spark.sparkContext.defaultParallelism
+                # n_frontier is the arithmetic pop-size estimate (exact for
+                # unbudgeted BFS; an upper bound under budgets)
+                want = min(
+                    par * cfg.fetch_tasks_per_core,
+                    max(par, n_frontier // max(cfg.fetch_target_urls_per_task, 1) + 1),
+                )
                 batch = batch.repartition(want)
             fetched = self.fetcher(batch)
         else:

@@ -249,16 +249,16 @@ def curation_pipeline(
     return token_budget_mix(final, budget_tokens)
 
 
-def token_budget_mix_sql(
+def token_budget_ctes(
     table: str,
-    budget_tokens: int,
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
 ) -> str:
+    """CTE chain (sized, running) replaying token_budget_mix over ``table``;
+    callers append the budget filter via :func:`token_budget_select`."""
     hkey = h60_sql(f"CAST({id_col} AS VARCHAR)")
-    return f"""
-WITH sized AS (
+    return f"""sized AS (
   SELECT {id_col} AS doc_id, {source_col} AS source,
          len(regexp_extract_all({text_col}, '\\S+')) AS ws_tokens,
          {hkey} AS hkey
@@ -269,8 +269,25 @@ running AS (
          sum(ws_tokens) OVER (PARTITION BY source ORDER BY hkey ASC, doc_id ASC
                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
   FROM sized
-)
+)"""
+
+
+def token_budget_select(budget_tokens: int) -> str:
+    return f"""
 SELECT doc_id, source, ws_tokens, cum_tokens
 FROM running WHERE cum_tokens <= {budget_tokens}
 ORDER BY doc_id
 """
+
+
+def token_budget_mix_sql(
+    table: str,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    return (
+        f"WITH {token_budget_ctes(table, id_col, text_col, source_col)}"
+        f"{token_budget_select(budget_tokens)}"
+    )

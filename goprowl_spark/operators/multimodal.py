@@ -91,41 +91,66 @@ def parse_media_header(payload: bytes) -> tuple[int, int, int] | None:
             return w, h, channels
     if len(payload) >= 4 and payload[:2] == b"\xff\xd8":  # JPEG SOI
         i = 2
-        while i + 9 < len(payload):
+        while i + 1 < len(payload):
             if payload[i] != 0xFF:
                 break
             marker = payload[i + 1]
-            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2: baseline/progressive
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # length-less markers (SOI/TEM/RSTn)
+                continue
+            if marker == 0xD9:  # EOI
+                break
+            if i + 4 > len(payload):
+                break
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                if i + 10 > len(payload):
+                    break
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
                 return w, h, payload[i + 9]
             seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if seg_len < 2:
+                break
             i += 2 + seg_len
         return None
     if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
         return w, h, 3
-    if len(payload) >= 24 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        n_channels = struct.unpack("<H", payload[22:24])[0]
-        return 0, 0, n_channels  # audio: no spatial dims
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        i = 12  # walk chunks until 'fmt ' — never trust a fixed offset
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 12 <= len(payload):
+                n_channels = struct.unpack("<H", payload[i + 10 : i + 12])[0]
+                return 0, 0, n_channels  # audio: no spatial dims
+            i += 8 + clen + (clen & 1)
+        return None
     return None
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+def decode_media(media: DataFrame, sniff_headers: bool = True) -> DataFrame:
     """mapInPandas decode stage: binary payload → typed metadata columns.
 
     One Arrow batch per iteration; in production the body calls the codec
-    per batch (vectorized I/O), never per Spark row.
+    per batch (vectorized I/O), never per Spark row. With ``sniff_headers``
+    (default) real container headers decode for real (pure Python —
+    PNG/JPEG/GIF/WAV) and only unrecognized bytes get the deterministic
+    stub; pass False for fully synthetic corpora whose payloads are random
+    bytes (e.g. the driver-gate run, whose SQL oracle replays the stub —
+    random bytes must never accidentally sniff as a container there).
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if _HAS_PIL and False:  # real path placeholder (no real images here)
                 raise NotImplementedError("real decode not wired in sandbox")
-            # real container headers decode for real (pure Python — PNG/
-            # JPEG/GIF/WAV); anything unrecognized gets the deterministic
-            # stub so synthetic pipelines still flow end-to-end
             meta = [
-                parse_media_header(p) or _fake_decode(p) for p in pdf["payload"]
+                (parse_media_header(p) if sniff_headers else None)
+                or _fake_decode(p)
+                for p in pdf["payload"]
             ]
             yield pd.DataFrame(
                 {

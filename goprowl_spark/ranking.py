@@ -163,6 +163,18 @@ GROUP BY term, doc_id
 """
 
 
+def _batch_query_terms(queries: dict[str, str]) -> list[tuple[str, str, int]]:
+    """(query_id, term, multiplicity) rows — ONE tokenization used by both
+    the Spark batch scorer and its SQL oracle so they can never drift."""
+    rows: list[tuple[str, str, int]] = []
+    for qid, q in sorted(queries.items()):
+        counts: dict[str, int] = {}
+        for t in tokenize(q):
+            counts[t] = counts.get(t, 0) + 1
+        rows.extend((qid, t, n) for t, n in counts.items())
+    return rows
+
+
 def bm25_scores_batch(
     spark: SparkSession,
     postings: DataFrame,
@@ -179,13 +191,9 @@ def bm25_scores_batch(
     df(term) is computed over DISTINCT terms first (a term shared by two
     queries must not double-count its postings), then fanned out to the
     per-query multiplicities."""
-    rows = []
-    for qid, q in sorted(queries.items()):
-        counts: dict[str, int] = {}
-        for t in tokenize(q):
-            counts[t] = counts.get(t, 0) + 1
-        rows.extend((qid, t, n) for t, n in counts.items())
-    terms = spark.createDataFrame(rows, "query_id string, term string, mult long")
+    terms = spark.createDataFrame(
+        _batch_query_terms(queries), "query_id string, term string, mult long"
+    )
     distinct_terms = terms.select("term").distinct()
     qpost = postings.join(F.broadcast(distinct_terms), "term").withColumn(
         "df", F.count("*").over(Window.partitionBy("term"))
@@ -216,13 +224,9 @@ def bm25_batch_oracle_sql(
     queries: dict[str, str],
     round_to: int = 4,
 ) -> str:
-    rows = []
-    for qid, q in sorted(queries.items()):
-        counts: dict[str, int] = {}
-        for t in tokenize(q):
-            counts[t] = counts.get(t, 0) + 1
-        rows.extend((qid, t, n) for t, n in counts.items())
-    terms_values = ", ".join(f"('{q}', '{t}', {n})" for q, t, n in rows)
+    terms_values = ", ".join(
+        f"('{q}', '{t}', {n})" for q, t, n in _batch_query_terms(queries)
+    )
     return f"""
 WITH postings AS ({postings_sql(table, id_col, text_col)}),
 doc_stats AS (
