@@ -277,6 +277,42 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "doc_id")
 
 
+PAGERANK_ITERS, PAGERANK_DAMPING = 3, 0.85
+
+
+def _corpus_link_edges(spark: SparkSession, n: int):
+    """The synthetic corpus's link graph, derived arithmetically (the same
+    rule corpus pages and the BFS oracle use): OK page i links to
+    (i*7 + j*13 + 1) % n for j < 2 + i%3."""
+    ids = spark.range(n).select(F.col("id").alias("src"))
+    ok = (F.col("src") % 97 != 33) & (F.col("src") % 131 != 57)
+    deg = (F.lit(2) + F.col("src") % 3).cast("int")
+    return (
+        ids.where(ok)
+        .select("src", F.explode(F.sequence(F.lit(0), deg - 1)).alias("j"))
+        .select(
+            "src", ((F.col("src") * 7 + F.col("j") * 13 + 1) % n).alias("dst")
+        )
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier prioritization signal: PageRank power iteration over the
+    corpus link graph (dangling mass redistributed; deterministic, so the
+    oracle unrolls the identical iterations in SQL)."""
+    from goprowl_spark.operators import graph
+
+    n = _docs(spark, sf_dir).count() * CORPUS_MULT
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    ranks = graph.pagerank(
+        nodes,
+        _corpus_link_edges(spark, n),
+        iters=PAGERANK_ITERS,
+        damping=PAGERANK_DAMPING,
+    )
+    return ranks.select("node", F.round("pr", 9).alias("pr")).orderBy("node")
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).where(F.col("doc_id") == 42).select(
         "doc_id", "lang", "source", "n_chars"
@@ -1008,6 +1044,51 @@ def _jaccard_oracle() -> str:
     return f"WITH {_jaccard_ctes()} SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"
 
 
+def _pagerank_oracle(iters: int = PAGERANK_ITERS, d: float = PAGERANK_DAMPING) -> str:
+    """Unrolled power iteration over the arithmetic corpus link graph —
+    one contrib/dangling/rank CTE triple per iteration, same uniform start
+    and dangling redistribution as operators.graph.pagerank."""
+    n_expr = f"(SELECT count(*)*{CORPUS_MULT} FROM documents)"
+    blocks = [
+        f"params AS (SELECT {n_expr} AS n)",
+        "idx AS (SELECT unnest(generate_series(0, p.n - 1)) AS i FROM params p)",
+        """edges AS (
+  SELECT i.i AS src, (i.i*7 + j.range*13 + 1) % p.n AS dst
+  FROM idx i, range(4) j, params p
+  WHERE j.range < 2 + (i.i % 3) AND i.i % 97 <> 33 AND i.i % 131 <> 57
+)""",
+        "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "pr0 AS (SELECT i AS node, 1.0/p.n AS pr FROM idx, params p)",
+    ]
+    prev = "pr0"
+    for k in range(1, iters + 1):
+        blocks.append(
+            f"""contrib{k} AS (
+  SELECT e.dst AS node, sum(p.pr / dg.deg) AS c
+  FROM edges e JOIN {prev} p ON p.node = e.src JOIN outdeg dg ON dg.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        blocks.append(
+            f"dang{k} AS (SELECT coalesce(sum(pr), 0) AS m FROM {prev} "
+            "WHERE node NOT IN (SELECT src FROM outdeg))"
+        )
+        blocks.append(
+            f"""pr{k} AS (
+  SELECT nd.node,
+         (1 - {d})/p.n + {d} * (coalesce(c.c, 0) + dg.m/p.n) AS pr
+  FROM (SELECT i AS node FROM idx) nd
+  LEFT JOIN contrib{k} c USING (node)
+  CROSS JOIN dang{k} dg CROSS JOIN params p
+)"""
+        )
+        prev = f"pr{k}"
+    return (
+        "WITH " + ",\n".join(blocks)
+        + f"\nSELECT node, round(pr, 9) AS pr FROM {prev} ORDER BY node"
+    )
+
+
 def _components_closure() -> str:
     """edges → reach → comp CTE chain: recursive closure over a preceding
     ``pairs`` CTE (id_a, id_b); comp = min reachable id — exactly the
@@ -1122,6 +1203,7 @@ FROM documents ORDER BY doc_id
     "bm25_batch": ranking.bm25_batch_oracle_sql(
         "documents", "doc_id", "text", BATCH_QUERIES
     ),
+    "pagerank": _pagerank_oracle(),
     "point_lookup": "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
     "list_all": "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "type_filter": "SELECT doc_id, source FROM documents WHERE lang = 'en' ORDER BY doc_id",
@@ -1226,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_search": q_tfidf,
         "bm25_search": q_bm25,
         "bm25_batch": q_bm25_batch,
+        "pagerank": q_pagerank,
         "point_lookup": q_point_lookup,
         "list_all": q_list_all,
         "type_filter": q_type_filter,
