@@ -313,6 +313,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("pr", 9).alias("pr")).orderBy("node")
 
 
+HITS_ITERS = 3
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the corpus link graph (L2-normalized per
+    iteration) — the companion centrality signal to pagerank."""
+    from goprowl_spark.operators import graph
+
+    n = _docs(spark, sf_dir).count() * CORPUS_MULT
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    ranks = graph.hits(nodes, _corpus_link_edges(spark, n), iters=HITS_ITERS)
+    return ranks.select(
+        "node", F.round("hub", 9).alias("hub"), F.round("auth", 9).alias("auth")
+    ).orderBy("node")
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).where(F.col("doc_id") == 42).select(
         "doc_id", "lang", "source", "n_chars"
@@ -1089,6 +1105,54 @@ def _pagerank_oracle(iters: int = PAGERANK_ITERS, d: float = PAGERANK_DAMPING) -
     )
 
 
+def _hits_oracle(iters: int = HITS_ITERS) -> str:
+    """Unrolled HITS iterations over the arithmetic corpus link graph —
+    per-iteration authority/hub sums with L2 normalizers, mirroring
+    operators.graph.hits."""
+    n_expr = f"(SELECT count(*)*{CORPUS_MULT} FROM documents)"
+    blocks = [
+        f"params AS (SELECT {n_expr} AS n)",
+        "idx AS (SELECT unnest(generate_series(0, p.n - 1)) AS i FROM params p)",
+        """edges AS (
+  SELECT i.i AS src, (i.i*7 + j.range*13 + 1) % p.n AS dst
+  FROM idx i, range(4) j, params p
+  WHERE j.range < 2 + (i.i % 3) AND i.i % 97 <> 33 AND i.i % 131 <> 57
+)""",
+        "nodes AS (SELECT i AS node FROM idx)",
+        "hits0 AS (SELECT node, 1.0 AS hub, 1.0 AS auth FROM nodes)",
+    ]
+    prev = "hits0"
+    for k in range(1, iters + 1):
+        blocks.extend(
+            [
+                f"""araw{k} AS (
+  SELECT nd.node, coalesce(s.a, 0) AS a
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(h.hub) AS a
+    FROM edges e JOIN {prev} h ON h.node = e.src GROUP BY e.dst
+  ) s USING (node)
+)""",
+                f"anorm{k} AS (SELECT sqrt(sum(a*a)) AS z FROM araw{k})",
+                f"a{k} AS (SELECT node, a / (CASE WHEN z = 0 THEN 1 ELSE z END) AS auth FROM araw{k} CROSS JOIN anorm{k})",
+                f"""hraw{k} AS (
+  SELECT nd.node, coalesce(s.h, 0) AS h
+  FROM nodes nd LEFT JOIN (
+    SELECT e.src AS node, sum(a.auth) AS h
+    FROM edges e JOIN a{k} a ON a.node = e.dst GROUP BY e.src
+  ) s USING (node)
+)""",
+                f"hnorm{k} AS (SELECT sqrt(sum(h*h)) AS z FROM hraw{k})",
+                f"h{k} AS (SELECT node, h / (CASE WHEN z = 0 THEN 1 ELSE z END) AS hub FROM hraw{k} CROSS JOIN hnorm{k})",
+                f"hits{k} AS (SELECT h.node, h.hub, a.auth FROM h{k} h JOIN a{k} a USING (node))",
+            ]
+        )
+        prev = f"hits{k}"
+    return (
+        "WITH " + ",\n".join(blocks)
+        + f"\nSELECT node, round(hub, 9) AS hub, round(auth, 9) AS auth FROM {prev} ORDER BY node"
+    )
+
+
 def _components_closure() -> str:
     """edges → reach → comp CTE chain: recursive closure over a preceding
     ``pairs`` CTE (id_a, id_b); comp = min reachable id — exactly the
@@ -1204,6 +1268,7 @@ FROM documents ORDER BY doc_id
         "documents", "doc_id", "text", BATCH_QUERIES
     ),
     "pagerank": _pagerank_oracle(),
+    "hits_scores": _hits_oracle(),
     "point_lookup": "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
     "list_all": "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "type_filter": "SELECT doc_id, source FROM documents WHERE lang = 'en' ORDER BY doc_id",
@@ -1309,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25,
         "bm25_batch": q_bm25_batch,
         "pagerank": q_pagerank,
+        "hits_scores": q_hits,
         "point_lookup": q_point_lookup,
         "list_all": q_list_all,
         "type_filter": q_type_filter,

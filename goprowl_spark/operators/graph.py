@@ -19,6 +19,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, hub, authority) after ``iters`` HITS iterations (Kleinberg):
+    authority ← Σ hub(in-neighbors), hub ← Σ authority(out-neighbors),
+    each L2-normalized per iteration. Same per-iteration shape as pagerank
+    (join + aggregate per direction); the normalizers are metadata-sized
+    aggregates."""
+    nodes = nodes.select(F.col(node_col).alias("node")).localCheckpoint()
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+    for _ in range(iters):
+        auth_new = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("a"))
+        )
+        with_auth = nodes.join(
+            auth_new, nodes["node"] == auth_new["dst"], "left"
+        ).select("node", F.coalesce(F.col("a"), F.lit(0.0)).alias("a"))
+        norm_a = with_auth.agg(
+            F.sqrt(F.sum(F.col("a") * F.col("a")))
+        ).collect()[0][0] or 1.0
+        with_auth = with_auth.select(
+            "node", (F.col("a") / norm_a).alias("auth")
+        ).localCheckpoint()
+        hub_new = (
+            e.join(with_auth, e["dst"] == with_auth["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("h"))
+        )
+        with_hub = nodes.join(
+            hub_new, nodes["node"] == hub_new["src"], "left"
+        ).select("node", F.coalesce(F.col("h"), F.lit(0.0)).alias("h"))
+        norm_h = with_hub.agg(
+            F.sqrt(F.sum(F.col("h") * F.col("h")))
+        ).collect()[0][0] or 1.0
+        with_hub = with_hub.select("node", (F.col("h") / norm_h).alias("hub"))
+        ranks = (
+            with_hub.join(with_auth, "node")
+            .select("node", "hub", "auth")
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,

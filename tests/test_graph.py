@@ -38,3 +38,37 @@ def test_pagerank_matches_numpy(spark):
     for i in range(n):
         assert abs(got[i] - want[i]) < 1e-12, i
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def np_hits(n: int, edges: list[tuple[int, int]], iters: int):
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        for s, t in edges:
+            a[t] += hub[s]
+        z = np.sqrt((a * a).sum()) or 1.0
+        auth = a / z
+        h = np.zeros(n)
+        for s, t in edges:
+            h[s] += auth[t]
+        z = np.sqrt((h * h).sum()) or 1.0
+        hub = h / z
+    return hub, auth
+
+
+def test_hits_matches_numpy(spark):
+    n = 30
+    edges = [(i, (i * 3 + 1) % n) for i in range(n) if i % 4 != 0] + [
+        (i, (i * 11 + 5) % n) for i in range(0, n, 3)
+    ]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in graph.hits(nodes, e, iters=3).collect()
+    }
+    hub, auth = np_hits(n, edges, iters=3)
+    for i in range(n):
+        assert abs(got[i][0] - hub[i]) < 1e-10, ("hub", i)
+        assert abs(got[i][1] - auth[i]) < 1e-10, ("auth", i)
