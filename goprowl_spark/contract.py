@@ -263,6 +263,19 @@ BATCH_QUERIES = {
 }
 
 
+def q_tfidf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF twin of bm25_batch — same one-pass batch serving shape."""
+    docs = _docs(spark, sf_dir)
+    postings = ranking.build_postings(docs, text_col="text")
+    stats = ranking.build_doc_stats(docs, text_col="text")
+    scored = ranking.tfidf_scores_batch(
+        spark, postings, stats, docs.count(), BATCH_QUERIES
+    )
+    return scored.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    ).orderBy("query_id", "doc_id")
+
+
 def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N queries scored in ONE postings pass (the serving shape: one
     broadcast of all query terms, one scan, (query_id, doc_id, score))."""
@@ -1269,6 +1282,9 @@ FROM documents ORDER BY doc_id
     ),
     "pagerank": _pagerank_oracle(),
     "hits_scores": _hits_oracle(),
+    "tfidf_batch": ranking.tfidf_batch_oracle_sql(
+        "documents", "doc_id", "text", BATCH_QUERIES
+    ),
     "point_lookup": "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
     "list_all": "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "type_filter": "SELECT doc_id, source FROM documents WHERE lang = 'en' ORDER BY doc_id",
@@ -1375,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch": q_bm25_batch,
         "pagerank": q_pagerank,
         "hits_scores": q_hits,
+        "tfidf_batch": q_tfidf_batch,
         "point_lookup": q_point_lookup,
         "list_all": q_list_all,
         "type_filter": q_type_filter,

@@ -175,6 +175,78 @@ def _batch_query_terms(queries: dict[str, str]) -> list[tuple[str, str, int]]:
     return rows
 
 
+def tfidf_scores_batch(
+    spark: SparkSession,
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    total_docs: int,
+    queries: dict[str, str],
+) -> DataFrame:
+    """TF-IDF twin of :func:`bm25_scores_batch` — same one-pass batch shape,
+    the reference's integer-division IDF per term."""
+    terms = spark.createDataFrame(
+        _batch_query_terms(queries), "query_id string, term string, mult long"
+    )
+    distinct_terms = terms.select("term").distinct()
+    qpost = postings.join(F.broadcast(distinct_terms), "term").withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    )
+    idf = 1.0 + F.floor(F.lit(float(total_docs)) / F.col("df"))
+    return (
+        qpost.join(F.broadcast(terms), "term")
+        .join(doc_stats, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("mult")
+                * (F.col("tf").cast("double") / F.col("doc_len"))
+                * idf
+            ).alias("term_score"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+
+
+def tfidf_batch_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: dict[str, str],
+    round_to: int = 4,
+) -> str:
+    terms_values = ", ".join(
+        f"('{q}', '{t}', {n})" for q, t, n in _batch_query_terms(queries)
+    )
+    return f"""
+WITH postings AS ({postings_sql(table, id_col, text_col)}),
+doc_stats AS (
+  SELECT {id_col} AS doc_id,
+         len(list_filter(regexp_split_to_array(lower({text_col}), '\\s+'),
+                         t -> t <> '')) AS doc_len
+  FROM {table}
+),
+qterms(query_id, term, mult) AS (VALUES {terms_values}),
+dterms AS (SELECT DISTINCT term FROM qterms),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM postings JOIN dterms USING (term) GROUP BY term
+),
+total AS (SELECT count(*) AS n FROM {table})
+SELECT q.query_id, p.doc_id,
+       round(sum(q.mult * (p.tf * 1.0 / s.doc_len)
+                 * (1.0 + floor(t.n * 1.0 / d.df))), {round_to}) AS score
+FROM postings p
+JOIN qterms q USING (term)
+JOIN dfs d USING (term)
+JOIN doc_stats s USING (doc_id)
+CROSS JOIN total t
+GROUP BY q.query_id, p.doc_id
+ORDER BY query_id, doc_id
+"""
+
+
 def bm25_scores_batch(
     spark: SparkSession,
     postings: DataFrame,
