@@ -674,6 +674,12 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- textstats
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality signal: mean token log-probability under the
+    corpus's own unigram distribution (the CCNet-perplexity stand-in)."""
+    return textstats.unigram_logprob(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(_docs(spark, sf_dir), text_col="text").orderBy("doc_id")
 
@@ -1367,6 +1373,7 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
     "emb_cosine_pairs": _emb_cosine_pairs_oracle(),
     "emb_ivf_topk": _emb_ivf_topk_oracle(),
     "emb_lsh_pairs": _emb_lsh_pairs_oracle(),
+    "unigram_logprob": textstats.unigram_logprob_sql("documents", "doc_id", "text"),
     "lang_id": textstats.lang_id_sql("documents", "doc_id", "text"),
     "token_counts": textstats.token_counts_sql("documents", "doc_id", "text"),
     "quality_scores": textstats.quality_scores_sql("documents", "doc_id", "text"),
@@ -1418,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_lsh_pairs": q_emb_lsh_pairs,
+        "unigram_logprob": q_unigram_logprob,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,

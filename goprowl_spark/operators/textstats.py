@@ -107,6 +107,59 @@ def fingerprints(
     )
 
 
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) — mean log-probability of each doc's
+    tokens under the corpus's own unigram distribution (the cheap stand-in
+    for CCNet-style LM-perplexity filtering: unusually low avg_logprob =
+    out-of-distribution text). Two shuffles total: the corpus unigram
+    count (partial-aggregated) and the per-doc mean; the unigram table
+    broadcasts at query time in a real deployment.
+
+    Uses natural log of P(t) = count(t)/total_tokens; rounded to 6 dp so
+    the DuckDB oracle hashes identically."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = toks.count()
+    return (
+        toks.join(counts, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / float(total))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def unigram_logprob_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(list_filter(regexp_split_to_array(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'), ' '),
+                            t -> t <> '')) AS term
+  FROM {table}
+),
+counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+total AS (SELECT count(*) AS n FROM toks)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(ln(c.c * 1.0 / tt.n)), 6) AS avg_logprob
+FROM toks t JOIN counts c USING (term) CROSS JOIN total tt
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 # ------------------------------------------------------------ sql twins
 
 def _marker_hits_sql(col: str, words: list[str]) -> str:
