@@ -674,6 +674,14 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- textstats
 
+def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick TF vectors (sparse (doc, dim, weight) form) — the
+    deterministic text→embedding bridge into the similarity stack."""
+    return textstats.feature_hash_embed(_docs(spark, sf_dir)).orderBy(
+        "doc_id", "dim"
+    )
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality signal: mean token log-probability under the
     corpus's own unigram distribution (the CCNet-perplexity stand-in)."""
@@ -1374,6 +1382,7 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
     "emb_ivf_topk": _emb_ivf_topk_oracle(),
     "emb_lsh_pairs": _emb_lsh_pairs_oracle(),
     "unigram_logprob": textstats.unigram_logprob_sql("documents", "doc_id", "text"),
+    "feature_hash_embed": textstats.feature_hash_embed_sql("documents", "doc_id", "text"),
     "lang_id": textstats.lang_id_sql("documents", "doc_id", "text"),
     "token_counts": textstats.token_counts_sql("documents", "doc_id", "text"),
     "quality_scores": textstats.quality_scores_sql("documents", "doc_id", "text"),
@@ -1426,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_lsh_pairs": q_emb_lsh_pairs,
         "unigram_logprob": q_unigram_logprob,
+        "feature_hash_embed": q_feature_hash_embed,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,

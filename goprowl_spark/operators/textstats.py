@@ -160,6 +160,55 @@ ORDER BY t.doc_id
 """
 
 
+def feature_hash_embed(
+    df: DataFrame,
+    dims: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, dim, weight) — hashing-trick TF vectors: each token maps to
+    ``h60(term) % dims`` and weights sum term frequency per dimension. The
+    cheap deterministic way to give every doc an embedding the similarity
+    stack (cosine/IVF/LSH) can consume — no model, no vocabulary, no
+    training; identical arithmetic in the DuckDB oracle. Emitted in sparse
+    (doc, dim, weight) form; pivot to dense arrays with
+    ``F.array(*)``/groupBy when an array column is needed."""
+    from goprowl_spark.operators.dedup import h60
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    return (
+        toks.select("doc_id", F.pmod(h60(F.col("term")), F.lit(dims)).alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+
+
+def feature_hash_embed_sql(
+    table: str, id_col: str, text_col: str, dims: int = 64
+) -> str:
+    from goprowl_spark.operators.dedup import h60_sql
+
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(list_filter(regexp_split_to_array(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'), ' '),
+                            t -> t <> '')) AS term
+  FROM {table}
+)
+SELECT doc_id, {h60_sql('term')} % {dims} AS dim, count(*) AS weight
+FROM toks GROUP BY doc_id, dim
+ORDER BY doc_id, dim
+"""
+
+
 # ------------------------------------------------------------ sql twins
 
 def _marker_hits_sql(col: str, words: list[str]) -> str:
