@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from goprowl_spark import corpus, ranking
 from goprowl_spark import search as gsearch
 from goprowl_spark import streaming
+from goprowl_spark import politeness as politeness_mod
 from goprowl_spark.crawl import CrawlConfig, CrawlEngine
 from goprowl_spark.operators import (
     curation,
@@ -307,6 +308,29 @@ def _corpus_link_edges(spark: SparkSession, n: int):
             "src", ((F.col("src") * 7 + F.col("j") * 13 + 1) % n).alias("dst")
         )
     )
+
+
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed robots.txt parsing (P5 fetch-side): synthetic per-host
+    bodies exercising UA grouping, comments, empty Disallow, non-star
+    groups; the window-algebra parser must extract exactly the star-group
+    prefixes. Output exploded (host, prefix) — portable across engines."""
+    from goprowl_spark import politeness
+
+    hosts = (
+        _docs(spark, sf_dir).select(F.col("source").alias("host")).distinct()
+    )
+    body = F.concat(
+        F.lit("User-agent: crawler\nDisallow: /never-"),
+        F.col("host"),
+        F.lit("\n\nUser-agent: x\nUser-agent: *\nDisallow: /a/"),
+        F.col("host"),
+        F.lit("\nDisallow: /b:c # note\nAllow: /fine\nDisallow:"),
+    )
+    parsed = politeness.parse_robots_txt(hosts.withColumn("body", body))
+    return parsed.select(
+        "host", F.explode("disallow_prefixes").alias("prefix")
+    ).orderBy("host", "prefix")
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1294,6 +1318,19 @@ FROM documents ORDER BY doc_id
     "bm25_batch": ranking.bm25_batch_oracle_sql(
         "documents", "doc_id", "text", BATCH_QUERIES
     ),
+    "robots_parse": (
+        "WITH robots AS (\n"
+        "  SELECT DISTINCT source AS host,\n"
+        "         'User-agent: crawler' || chr(10) || 'Disallow: /never-' || source\n"
+        "         || chr(10) || chr(10) || 'User-agent: x' || chr(10) || 'User-agent: *'\n"
+        "         || chr(10) || 'Disallow: /a/' || source || chr(10)\n"
+        "         || 'Disallow: /b:c # note' || chr(10) || 'Allow: /fine'\n"
+        "         || chr(10) || 'Disallow:' AS body\n"
+        "  FROM documents\n"
+        "),\n"
+        + politeness_mod.parse_robots_txt_sql("robots")
+        + "\nSELECT host, prefix FROM prefixes ORDER BY host, prefix"
+    ),
     "pagerank": _pagerank_oracle(),
     "hits_scores": _hits_oracle(),
     "tfidf_batch": ranking.tfidf_batch_oracle_sql(
@@ -1405,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_search": q_tfidf,
         "bm25_search": q_bm25,
         "bm25_batch": q_bm25_batch,
+        "robots_parse": q_robots_parse,
         "pagerank": q_pagerank,
         "hits_scores": q_hits,
         "tfidf_batch": q_tfidf_batch,

@@ -46,6 +46,108 @@ def apply_robots(candidates: DataFrame, robots_rules: DataFrame | None) -> DataF
     return joined.where(~disallowed).drop("disallow_prefixes")
 
 
+def parse_robots_txt(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, disallow_prefixes) parsed from raw robots.txt bodies — the
+    fetch-side of P5 (the reference delegates to temoto/robotstxt via
+    colly, go.mod:59; here the parse itself is a distributed relational
+    computation, no per-row stateful code).
+
+    Grammar honored (the subset the rules table consumes): groups =
+    consecutive ``User-agent:`` lines followed by their rules; a group
+    applies when any of its agents is ``*``; ``Disallow:`` values in
+    applying groups become prefixes (empty value = allow-all, per the
+    spec); ``#`` comments stripped; blank lines ignored (Google-parser
+    behavior). Entirely window algebra over posexploded lines, so the
+    DuckDB oracle replays it exactly.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("idx", "raw"),
+    )
+    clean = F.trim(F.split(F.col("raw"), "#")[0])
+    lower = F.lower(clean)
+    is_ua = lower.startswith("user-agent:")
+    is_dis = lower.startswith("disallow:")
+    # value = everything after the FIRST colon (paths may contain ':')
+    val = F.trim(F.regexp_replace(clean, r"^[^:]*:", ""))
+    w = Window.partitionBy("host").orderBy("idx")
+    marked = (
+        lines.select(
+            "host",
+            "idx",
+            is_ua.alias("is_ua"),
+            is_dis.alias("is_dis"),
+            val.alias("val"),
+        )
+        .withColumn(
+            "is_block_start",
+            (
+                F.col("is_ua")
+                & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False))
+            ).cast("int"),
+        )
+        .withColumn(
+            "block_id",
+            F.sum("is_block_start").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    star_blocks = (
+        marked.where(F.col("is_ua") & (F.col("val") == "*"))
+        .select("host", "block_id")
+        .distinct()
+    )
+    return (
+        marked.where(F.col("is_dis") & (F.col("val") != ""))
+        .join(star_blocks, ["host", "block_id"])
+        .groupBy("host")
+        .agg(F.array_sort(F.collect_set("val")).alias("disallow_prefixes"))
+    )
+
+
+def parse_robots_txt_sql(robots_cte: str) -> str:
+    """DuckDB twin of parse_robots_txt over a CTE/table ``(host, body)``;
+    returns (host, prefix) EXPLODED and ordered (array columns don't
+    hash portably across engines; the gate compares the exploded form)."""
+    return f"""
+lines AS (
+  SELECT host, i - 1 AS idx, arr[i] AS raw
+  FROM (SELECT host, regexp_split_to_array(body, '\n') AS arr FROM {robots_cte}),
+       unnest(generate_series(1, len(arr))) t(i)
+),
+marked0 AS (
+  SELECT host, idx,
+         lower(trim(str_split(raw, '#')[1])) LIKE 'user-agent:%' AS is_ua,
+         lower(trim(str_split(raw, '#')[1])) LIKE 'disallow:%' AS is_dis,
+         trim(regexp_replace(trim(str_split(raw, '#')[1]), '^[^:]*:', '')) AS val
+  FROM lines
+),
+marked1 AS (
+  SELECT host, idx, is_ua, is_dis, val,
+         CASE WHEN is_ua AND NOT coalesce(
+           lag(is_ua) OVER (PARTITION BY host ORDER BY idx), FALSE)
+         THEN 1 ELSE 0 END AS is_block_start
+  FROM marked0
+),
+marked AS (
+  SELECT host, idx, is_ua, is_dis, val,
+         sum(is_block_start)
+           OVER (PARTITION BY host ORDER BY idx ROWS UNBOUNDED PRECEDING) AS block_id
+  FROM marked1
+),
+star_blocks AS (
+  SELECT DISTINCT host, block_id FROM marked WHERE is_ua AND val = '*'
+),
+prefixes AS (
+  SELECT DISTINCT m.host, m.val AS prefix
+  FROM marked m JOIN star_blocks s USING (host, block_id)
+  WHERE m.is_dis AND m.val <> ''
+)"""
+
+
 def pop_batch(
     frontier: DataFrame,
     host_budget: DataFrame | None,

@@ -189,3 +189,23 @@ def test_crawl_maintain_index_ranked_search(spark, tmp_path):
     assert maintained == rebuilt and maintained
     top = search.search_ranked("alpha", scorer="bm25", k=5).collect()
     assert top and all(r["score"] > 0 for r in top)
+
+
+def test_parse_robots_txt_groups(spark):
+    """UA grouping, comments, empty Disallow, values containing ':',
+    non-star groups excluded — the parser feeds apply_robots' rules table."""
+    from goprowl_spark.politeness import parse_robots_txt
+
+    body = (
+        "User-agent: bot\nDisallow: /secret\n\n"
+        "User-agent: x\nUser-agent: *\nDisallow: /tmp\n"
+        "Disallow: /a:b # comment\nAllow: /ok\nDisallow:\n\n"
+        "User-agent: other\nDisallow: /other"
+    )
+    rows = parse_robots_txt(
+        spark.createDataFrame([("h1.test", body), ("h2.test", "Disallow: /lost")],
+                              ["host", "body"])
+    ).collect()
+    got = {r["host"]: list(r["disallow_prefixes"]) for r in rows}
+    # h1: only the *'d group's non-empty disallows; h2: no UA group at all
+    assert got == {"h1.test": ["/a:b", "/tmp"]}
