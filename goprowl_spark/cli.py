@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import functions as F
@@ -112,6 +113,16 @@ def cmd_curate(args) -> int:
     dedup → near-dup cluster canonicals → per-source token budgets) over a
     documents parquet; write the selected mixture."""
     from goprowl_spark.operators import curation
+
+    # Spark reads lazily: overwriting --output while it IS --input would
+    # truncate the source mid-read and destroy the documents table.
+    if os.path.realpath(args.input) == os.path.realpath(args.output):
+        print(
+            "error: --input and --output resolve to the same path; "
+            "write the mixture somewhere else",
+            file=sys.stderr,
+        )
+        return 2
 
     spark = get_spark("goprowl-curate")
     docs = spark.read.parquet(args.input)

@@ -652,10 +652,12 @@ def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming watermarked dropDuplicates over the events stream; bounded
-    input makes the result exactly SELECT DISTINCT of the keys."""
+    """Streaming dropDuplicatesWithinWatermark over the events stream; the
+    dedup horizon (35 days) covers the fixture's whole event-time span, so
+    the bounded-input result is exactly SELECT DISTINCT of the keys while
+    the operator's state stays event-time-evictable."""
     return streaming.stream_distinct_keys(
-        spark, f"{sf_dir}/events.parquet"
+        spark, f"{sf_dir}/events.parquet", watermark="35 days"
     ).orderBy("user_id", "event_type")
 
 
@@ -1281,7 +1283,7 @@ ORACLES: dict[str, str | None] = {
     "search_boosted": f"""
 WITH scored AS (
   SELECT doc_id,
-         round({gsearch.compile_score_sql(_processor_terms(), TITLE_SQL, 'text')}, 6) AS score
+         CAST(round({gsearch.compile_score_sql(_processor_terms(), TITLE_SQL, 'text')}, 6) AS DOUBLE) AS score
   FROM documents
 )
 SELECT doc_id, score FROM scored

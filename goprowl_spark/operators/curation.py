@@ -266,8 +266,10 @@ def token_budget_ctes(
 ),
 running AS (
   SELECT doc_id, source, ws_tokens,
-         sum(ws_tokens) OVER (PARTITION BY source ORDER BY hkey ASC, doc_id ASC
-                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(sum(ws_tokens) OVER (PARTITION BY source
+                                   ORDER BY hkey ASC, doc_id ASC
+                                   ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_tokens
   FROM sized
 )"""
 

@@ -253,7 +253,9 @@ def search_oracle_sql(
     start = (page - 1) * size
     return f"""
 WITH scored AS (
-  SELECT {id_col} AS doc_id, {score} AS score
+  -- DuckDB folds the literal weights into DECIMAL; Spark's score is DOUBLE.
+  -- CAST keeps the oracle's column type identical to the engine's.
+  SELECT {id_col} AS doc_id, CAST({score} AS DOUBLE) AS score
   FROM {table}
 )
 SELECT doc_id, score FROM scored

@@ -71,16 +71,22 @@ def stream_distinct_keys(
     watermark: str = "10 minutes",
     query_name: str = "goprowl_stream_dedup",
 ) -> DataFrame:
-    """Streaming exact dedup: watermarked ``dropDuplicates`` over an append
-    stream — the streaming-native form of the exact-dedup operator (first
-    occurrence per key passes through, duplicates are suppressed by the
-    dedup state store; the watermark bounds that state by event time, which
-    is what makes the operator runnable forever at scale).
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` over an
+    append stream — the streaming-native form of the exact-dedup operator.
+    First occurrence per key passes through; duplicates arriving within the
+    ``watermark`` horizon (event time) are suppressed, and expired keys are
+    evicted from the state store once the watermark passes them. Plain
+    ``dropDuplicates(keys)`` would keep every key forever (the watermark
+    only bounds state when the event-time column is *in* the dedup subset),
+    so the horizon is the price of bounded state: a duplicate arriving
+    more than ``watermark`` after its first occurrence is re-emitted.
 
-    Emits only the key columns, so the bounded-input result is exactly
-    ``SELECT DISTINCT keys`` — the driver oracle verifies values, not just
-    shape. Production: readStream from the log bus, writeStream append to
-    an Iceberg table with checkpointing; identical plan."""
+    Choose ``watermark`` ≥ the event-time span over which re-fetches of the
+    same key must dedup (the crawl's revisit horizon). When it covers the
+    whole bounded input, the result is exactly ``SELECT DISTINCT keys`` —
+    the driver oracle verifies values, not just shape. Production:
+    readStream from the log bus, writeStream append to an Iceberg table
+    with checkpointing; identical plan."""
     schema = spark.read.parquet(events_path).schema
     base_dir, _, fname = events_path.rpartition("/")
     stream = (
@@ -91,7 +97,7 @@ def stream_distinct_keys(
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     deduped = (
         stream.withWatermark("ts", watermark)
-        .dropDuplicates([*keys])
+        .dropDuplicatesWithinWatermark([*keys])
         .select(*keys)
     )
     q = (

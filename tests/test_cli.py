@@ -57,3 +57,14 @@ def test_cli_crawl_search_list_curate(spark, tmp_path, capsys):
     cur = json.loads(capsys.readouterr().out)
     assert cur["docs_kept"] > 0 and cur["tokens_kept"] > 0
     assert spark.read.parquet(out_path).count() == cur["docs_kept"]
+
+    # --input == --output would truncate the source mid-read (lazy scan +
+    # overwrite); must refuse up front, and leave the file untouched
+    before = spark.read.parquet(out_path).count()
+    rc = cli.main(
+        ["curate", "--input", out_path, "--output", out_path,
+         "--budget-tokens", "500"]
+    )
+    assert rc == 2
+    capsys.readouterr()
+    assert spark.read.parquet(out_path).count() == before

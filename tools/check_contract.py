@@ -75,6 +75,7 @@ def main() -> int:
         try:
             res = con.sql(oracles[name])
             ocols = [d[0] for d in res.description]
+            otypes = [str(t) for t in res.types]
             orows = res.fetchall()
         except Exception:
             print(f"FAIL  {name}: oracle sql error")
@@ -82,6 +83,18 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        # The driver's value hash is type-sensitive: a DuckDB column that
+        # silently promotes (HUGEINT from window sums over BIGINT, DECIMAL
+        # from integer division) will hash-mismatch Spark's BIGINT/DOUBLE
+        # even when the values agree. Catch the whole class here.
+        promoted = [
+            f"{c}:{t}" for c, t in zip(ocols, otypes)
+            if "HUGEINT" in t or t.startswith("DECIMAL")
+        ]
+        if promoted:
+            problems.append(
+                f"oracle type promotion (add explicit CAST): {promoted}"
+            )
         if len(rows) != len(orows):
             problems.append(f"rowcount spark={len(rows)} oracle={len(orows)}")
         if sorted(cols) != sorted(ocols):
