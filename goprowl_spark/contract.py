@@ -663,6 +663,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LSH_PAIRS_THRESHOLD = 0.45
 IVF_QUERY_ID, IVF_CENTROIDS, IVF_NPROBE, IVF_K = 7, 8, 3, 10
+IVF_KMEANS_ITER = 4
 
 
 def q_emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -680,20 +681,23 @@ def q_emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k over a MATERIALIZED index: the build step
+    (deterministic integer-quantized k-means, md5 init, fixed Lloyd steps)
     writes the assignment cluster-partitioned (one-time cost); the query
     plan is partition-pruned scan of the probed clusters + partial top-k —
-    no per-query assignment. Oracle replays centroid choice, assignment and
-    probing in SQL."""
+    no per-query assignment. Oracle replays the k-means loop, assignment
+    and probing bit-for-bit in SQL (kmeans_oracle_ctes)."""
     emb = _emb(spark, sf_dir)
     qv = [
         float(x)
         for x in emb.where(F.col("vec_id") == IVF_QUERY_ID).collect()[0]["embedding"]
     ]
-    assigned, cents = similarity.build_ivf_index(emb, n_centroids=IVF_CENTROIDS)
+    assigned, cents = similarity.build_ivf_index(
+        emb, n_centroids=IVF_CENTROIDS, n_iter=IVF_KMEANS_ITER
+    )
     index_dir = tempfile.mkdtemp(prefix="goprowl_ivf_")
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(index_dir)
     index = spark.read.parquet(index_dir)
-    probe = similarity.probe_clusters(cents, qv, nprobe=IVF_NPROBE)
+    probe = similarity.probe_clusters_quant(cents, qv, nprobe=IVF_NPROBE)
     top = similarity.ivf_topk_indexed(index, probe, qv, k=IVF_K)
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
@@ -1032,55 +1036,61 @@ ORDER BY id_a, id_b
 
 
 def _emb_ivf_topk_oracle() -> str:
-    """Replay of the IVF gate: centroids = the n_centroids lowest-id
-    vectors (cid = rank), assignment = argmax cosine (tie → lowest cid),
-    probe = nprobe centroids nearest the query, exact scoring inside the
-    probed clusters only.
+    """Replay of the IVF gate: deterministic k-means centroids
+    (kmeans_oracle_ctes — integer-quantized vectors, md5-ordered init,
+    {IVF_KMEANS_ITER} exact-integer Lloyd steps), final assignment and
+    probe selection from the same exact integer dot/norm algebra (bit-
+    identical to the engine's numpy int64 matmul), exact float scoring
+    inside the probed clusters only.
 
-    Known acceptance: the assignment argmax is float math whose summation
-    order differs between numpy (Spark side) and DuckDB — a vector whose
-    top-2 centroid cosines differ by <1e-14 could assign differently.
-    Continuous embeddings make that probability negligible (unlike the
-    LSH sign bits, which sit at an exact 0 threshold and ARE integer-
-    quantized — similarity.QUANT)."""
+    The only float math left is the FINAL cosine over the original float
+    embeddings (rounded to 6dp, same acceptance as cosine_topk); every
+    cluster decision — init, every iteration's argmax, the update, the
+    probe — is exact and engine-independent."""
+    km = similarity.kmeans_oracle_ctes(
+        IVF_CENTROIDS, IVF_KMEANS_ITER, table="embeddings"
+    )
     return f"""
-WITH ev AS (
+WITH {km},
+cnf AS (SELECT cid, CAST(sum(q*q) AS BIGINT) AS n2 FROM cfin GROUP BY cid),
+dfin AS (
+  SELECT x.vec_id, c.cid, CAST(sum(x.q * c.q) AS BIGINT) AS d
+  FROM qx x JOIN cfin c USING (i) GROUP BY x.vec_id, c.cid
+),
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, s.cid,
+           CASE WHEN v.n2 = 0 OR n.n2 = 0 THEN -2.0
+                ELSE CAST(s.d AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(n.n2 AS DOUBLE)))
+           END AS cos
+    FROM dfin s JOIN vn2 v USING (vec_id) JOIN cnf n USING (cid))
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) = 1
+),
+qq AS (SELECT i, q FROM qx WHERE vec_id = {IVF_QUERY_ID}),
+qn2 AS (SELECT CAST(sum(q*q) AS BIGINT) AS n2 FROM qq),
+probe AS (
+  SELECT c.cid
+  FROM cfin c JOIN qq USING (i) JOIN cnf n ON n.cid = c.cid
+  GROUP BY c.cid, n.n2
+  ORDER BY CASE WHEN (SELECT n2 FROM qn2) = 0 OR n.n2 = 0 THEN -2.0
+                ELSE CAST(CAST(sum(c.q * qq.q) AS BIGINT) AS DOUBLE)
+                     / (sqrt(CAST((SELECT n2 FROM qn2) AS DOUBLE)) * sqrt(CAST(n.n2 AS DOUBLE)))
+           END DESC, c.cid ASC
+  LIMIT {IVF_NPROBE}
+),
+ev AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS y,
          generate_subscripts(embedding, 1) AS i
   FROM embeddings
 ),
-cent_ids AS (
-  SELECT vec_id AS cvid, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
-  FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
-),
-cents AS (SELECT cid, i, y FROM cent_ids JOIN ev ON ev.vec_id = cvid),
 vnorm AS (SELECT vec_id, sqrt(sum(y*y)) AS nv FROM ev GROUP BY vec_id),
-cnorm AS (SELECT cid, sqrt(sum(y*y)) AS nc FROM cents GROUP BY cid),
-sims AS (
-  SELECT e.vec_id, c.cid, sum(e.y * c.y) / (vn.nv * cn.nc) AS cos
-  FROM ev e JOIN cents c USING (i)
-  JOIN vnorm vn ON vn.vec_id = e.vec_id
-  JOIN cnorm cn ON cn.cid = c.cid
-  GROUP BY e.vec_id, c.cid, vn.nv, cn.nc
-),
-assign AS (
-  SELECT vec_id, cid FROM sims
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) = 1
-),
-qv AS (SELECT i, y FROM ev WHERE vec_id = {IVF_QUERY_ID}),
-qn AS (SELECT sqrt(sum(y*y)) AS n FROM qv),
-probe AS (
-  SELECT c.cid
-  FROM cents c JOIN qv USING (i) JOIN cnorm cn ON cn.cid = c.cid
-  GROUP BY c.cid, cn.nc
-  ORDER BY sum(c.y * qv.y) / ((SELECT n FROM qn) * cn.nc) DESC, c.cid ASC
-  LIMIT {IVF_NPROBE}
-),
+fqv AS (SELECT i, y FROM ev WHERE vec_id = {IVF_QUERY_ID}),
+fqn AS (SELECT sqrt(sum(y*y)) AS n FROM fqv),
 scored AS (
-  SELECT e.vec_id, sum(e.y * q.y) / (vn.nv * (SELECT n FROM qn)) AS cosine
-  FROM ev e JOIN qv q USING (i)
+  SELECT e.vec_id, sum(e.y * q.y) / (vn.nv * (SELECT n FROM fqn)) AS cosine
+  FROM ev e JOIN fqv q USING (i)
   JOIN vnorm vn ON vn.vec_id = e.vec_id
-  WHERE e.vec_id IN (SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probe))
+  WHERE e.vec_id IN (SELECT vec_id FROM af WHERE cid IN (SELECT cid FROM probe))
   GROUP BY e.vec_id, vn.nv
 )
 SELECT vec_id, round(cosine, 6) AS cosine

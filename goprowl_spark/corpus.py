@@ -348,7 +348,17 @@ def make_fetcher(n: int, fuse_parse: bool = True):
     from goprowl_spark.parse import parse_spans
 
     def gen(batches):
+        # worker-side busy-time accounting (perf diagnosis only): append
+        # "pid elapsed rows" per task so python CPU share of the fetch wave
+        # can be split from JVM/scheduling overhead
+        import os as _os
+        import time as _time
+
+        _timing = _os.environ.get("GOPROWL_WORKER_TIMING")
+        _busy = 0.0
+        _rows = 0
         for pdf in batches:
+            _t0 = _time.time() if _timing else 0.0
             statuses, htmls, lats = [], [], []
             for u in pdf["url"]:
                 i = None
@@ -381,7 +391,14 @@ def make_fetcher(n: int, fuse_parse: bool = True):
                 )
             else:
                 cols["html"] = htmls
-            yield pd.DataFrame(cols)
+            out = pd.DataFrame(cols)
+            if _timing:
+                _busy += _time.time() - _t0
+                _rows += len(out)
+            yield out
+        if _timing and _rows:
+            with open(_timing, "a") as fh:
+                fh.write(f"{_os.getpid()} {_busy:.3f} {_rows}\n")
 
     span_t = schemas.DOCUMENTS["spans"].dataType.simpleString()
     fused_schema = (

@@ -116,9 +116,10 @@ def deterministic_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic coarse quantizer: the n lowest-id vectors serve as
-    centroids (no RNG / no k-means iterations — reproducibility over
-    optimality; swap in k-means|| on a real corpus)."""
+    """Legacy coarse quantizer: the n lowest-id vectors serve as centroids.
+    Deterministic but data-blind — superseded by :func:`kmeans_centroids`
+    (deterministic k-means over integer-quantized vectors), kept only as a
+    zero-job fallback."""
     rows = (
         embeddings.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .orderBy("i")
@@ -128,20 +129,131 @@ def deterministic_centroids(
     return [(j, [float(x) for x in r["v"]]) for j, r in enumerate(rows)]
 
 
+# ------------------------------------------------- deterministic k-means IVF
+#
+# Every quantity in the k-means loop is exact integer arithmetic (or an
+# IEEE-correctly-rounded function of exact integers), so Spark and the
+# DuckDB oracle replay the SAME centroids and assignments bit-for-bit:
+#
+#   * vectors are quantized once:  q_j = floor(x_j * 1e6 + 0.5)  — float →
+#     double cast, multiply, add, floor are all correctly-rounded IEEE ops,
+#     identical in numpy, the JVM and DuckDB;
+#   * dot products / squared norms over BIGINT components are exact sums
+#     (order-independent, no float accumulation anywhere);
+#   * cosine = CAST(dot AS DOUBLE) / (sqrt(n2_v) * sqrt(n2_c)) — three
+#     correctly-rounded ops over exactly-representable integers (all
+#     magnitudes < 2^53 for |x| ≤ ~4, dim ≤ 256);
+#   * centroid update is exact integer floor-division of component sums;
+#   * init is the md5-hash order of ids (arbitrary but fixed spread sample,
+#     same string hash both engines), ties broken by id.
+#
+# The scale shape per iteration: one map-only Arrow-batched assignment pass
+# (numpy int64 matmul against the broadcast C×dim centroid matrix) + one
+# partially-aggregated shuffle of C×(dim+1) cells + a metadata-sized
+# driver collect — the standard distributed Lloyd step (k-means|| style
+# fixed-round refinement, no RNG).
+
+KM_SCALE = 1_000_000
+
+
+def quantize_vec(vec_col: Column) -> Column:
+    """array<float> → array<bigint>: q_j = floor(x_j * KM_SCALE + 0.5)."""
+    return F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") * KM_SCALE + F.lit(0.5)).cast("long"),
+    )
+
+
+def _quantize_np(vecs: "pd.Series") -> np.ndarray:
+    m = np.array(vecs.tolist(), dtype=np.float64)
+    return np.floor(m * KM_SCALE + 0.5).astype(np.int64)
+
+
+def _assign_quant_udf(qcents: list[tuple[int, list[int]]], quantized: bool):
+    """Pandas UDF assigning each vector to its nearest centroid by cosine
+    (tie → lowest centroid id) with the exact integer dot/norm algebra."""
+    order = sorted(qcents, key=lambda t: t[0])
+    cids = np.array([cid for cid, _ in order], dtype=np.int64)
+    cent = np.array([c for _, c in order], dtype=np.int64)
+    cn = np.sqrt((cent * cent).sum(axis=1).astype(np.float64))
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        q = (
+            np.array(vecs.tolist(), dtype=np.int64)
+            if quantized
+            else _quantize_np(vecs)
+        )
+        d = (q @ cent.T).astype(np.float64)
+        nq = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+        denom = nq[:, None] * cn[None, :]
+        sims = np.where(denom == 0.0, -2.0, d / np.where(denom == 0.0, 1.0, denom))
+        return pd.Series(cids[np.argmax(sims, axis=1)].astype("int32"))
+
+    return assign
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[int]]]:
+    """Deterministic k-means coarse quantizer: md5-ordered init, ``n_iter``
+    exact-integer Lloyd steps. Returns quantized integer centroids
+    (components at KM_SCALE) — bit-identical to the DuckDB replay
+    (:func:`kmeans_oracle_ctes`). An empty cluster keeps its previous
+    centroid."""
+    qdf = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("qv")
+    )
+    init = (
+        qdf.orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = {j: [int(x) for x in r["qv"]] for j, r in enumerate(init)}
+    dim = len(cents[0])
+    sums = [F.sum(F.element_at("qv", j + 1)).alias(f"s{j}") for j in range(dim)]
+    for _ in range(n_iter):
+        assign = _assign_quant_udf(sorted(cents.items()), quantized=True)
+        upd = (
+            qdf.select("qv", assign(F.col("qv")).alias("cluster"))
+            .groupBy("cluster")
+            .agg(*sums, F.count("*").alias("m"))
+            .collect()
+        )
+        for row in upd:
+            m = int(row["m"])
+            # python // IS floor division on ints — exact, any magnitude
+            cents[int(row["cluster"])] = [int(row[f"s{j}"]) // m for j in range(dim)]
+    return sorted(cents.items())
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    n_iter: int = 4,
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     """The IVF BUILD step — run once, materialize the result.
 
     Returns (assigned, centroids): ``assigned`` is (vec_id, embedding,
-    cluster). At scale you write it ``partitionBy("cluster")`` (or make
-    cluster an Iceberg partition key) so every query's cluster filter
-    becomes partition pruning — queries never re-assign vectors."""
-    cents = deterministic_centroids(embeddings, n_centroids, id_col, vec_col)
-    return assign_clusters(embeddings, cents, id_col, vec_col), cents
+    cluster); ``centroids`` are the quantized k-means centroids
+    (:func:`kmeans_centroids`). At scale you write the assignment
+    ``partitionBy("cluster")`` (or make cluster an Iceberg partition key)
+    so every query's cluster filter becomes partition pruning — queries
+    never re-assign vectors."""
+    cents = kmeans_centroids(embeddings, n_centroids, n_iter, id_col, vec_col)
+    assign = _assign_quant_udf(cents, quantized=False)
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        assign(F.col(vec_col)).alias("cluster"),
+    )
+    return assigned, cents
 
 
 def probe_clusters(
@@ -150,7 +262,9 @@ def probe_clusters(
     nprobe: int,
 ) -> list[int]:
     """The ``nprobe`` centroid ids nearest the query (cosine; ties → lowest
-    id). Driver-side math over the tiny centroid list."""
+    id). Driver-side math over the tiny centroid list. Works for float or
+    quantized-integer centroids (cosine is scale-invariant); for the
+    bit-exact oracle path use :func:`probe_clusters_quant`."""
     qn = math.sqrt(sum(float(x) ** 2 for x in query_vec))
 
     def cos_q(c: list[float]) -> float:
@@ -159,6 +273,87 @@ def probe_clusters(
         return d / (qn * cn) if qn and cn else -1.0
 
     return [cid for cid, _ in sorted(centroids, key=lambda t: (-cos_q(t[1]), t[0]))[:nprobe]]
+
+
+def probe_clusters_quant(
+    qcents: list[tuple[int, list[int]]],
+    query_vec: list[float],
+    nprobe: int,
+) -> list[int]:
+    """Exact-replay probe: quantize the query, integer dots against the
+    quantized centroids, cosine from exact ints — matches the DuckDB
+    replay's probe selection bit-for-bit (same acceptance as assignment)."""
+    qq = [math.floor(float(x) * KM_SCALE + 0.5) for x in query_vec]
+    n2q = sum(x * x for x in qq)
+
+    def cos_q(c: list[int]) -> float:
+        n2c = sum(x * x for x in c)
+        if n2q == 0 or n2c == 0:
+            return -2.0
+        d = sum(x * y for x, y in zip(qq, c))
+        return d / (math.sqrt(n2q) * math.sqrt(n2c))
+
+    return [cid for cid, _ in sorted(qcents, key=lambda t: (-cos_q(t[1]), t[0]))[:nprobe]]
+
+
+def kmeans_oracle_ctes(
+    n_centroids: int,
+    n_iter: int = 4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB CTE chain replaying :func:`kmeans_centroids` bit-for-bit;
+    ends with ``cfin(cid, i, q)`` (quantized centroid components) plus the
+    shared ``qx(vec_id, i, q)`` / ``vn2(vec_id, n2)`` vector CTEs."""
+    parts = [
+        f"""qe AS MATERIALIZED (
+  SELECT {id_col} AS vec_id,
+         list_transform({vec_col},
+           x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM {table}
+),
+qx AS MATERIALIZED (
+  SELECT vec_id, CAST(unnest(qv) AS BIGINT) AS q,
+         generate_subscripts(qv, 1) AS i
+  FROM qe
+),
+vn2 AS MATERIALIZED (SELECT vec_id, CAST(sum(q*q) AS BIGINT) AS n2 FROM qx GROUP BY vec_id),
+kinit AS MATERIALIZED (
+  SELECT vec_id AS cvid,
+         CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cid
+  FROM {table}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+),
+c0 AS MATERIALIZED (SELECT cid, i, q FROM kinit JOIN qx ON qx.vec_id = cvid)"""
+    ]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        parts.append(f"""cn{p} AS MATERIALIZED (SELECT cid, CAST(sum(q*q) AS BIGINT) AS n2 FROM c{p} GROUP BY cid),
+d{k} AS MATERIALIZED (
+  SELECT x.vec_id, c.cid, CAST(sum(x.q * c.q) AS BIGINT) AS d
+  FROM qx x JOIN c{p} c USING (i) GROUP BY x.vec_id, c.cid
+),
+a{k} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, s.cid,
+           CASE WHEN v.n2 = 0 OR n.n2 = 0 THEN -2.0
+                ELSE CAST(s.d AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(n.n2 AS DOUBLE)))
+           END AS cos
+    FROM d{k} s JOIN vn2 v USING (vec_id) JOIN cn{p} n USING (cid))
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) = 1
+),
+u{k} AS MATERIALIZED (
+  SELECT cid, i, CAST(sum(q) AS BIGINT) AS s, count(*) AS m
+  FROM a{k} JOIN qx USING (vec_id) GROUP BY cid, i
+),
+c{k} AS MATERIALIZED (
+  SELECT cid, i, CAST((s - ((s % m + m) % m)) // m AS BIGINT) AS q FROM u{k}
+  UNION ALL
+  SELECT cid, i, q FROM c{p} WHERE cid NOT IN (SELECT cid FROM u{k})
+)""")
+    parts.append(f"cfin AS MATERIALIZED (SELECT cid, i, q FROM c{n_iter})")
+    return ",\n".join(parts)
 
 
 def ivf_topk_indexed(
@@ -196,7 +391,7 @@ def ivf_topk(
     cluster-partitioned, and serve queries with :func:`ivf_topk_indexed`."""
     assigned, cents = build_ivf_index(embeddings, n_centroids, id_col, vec_col)
     return ivf_topk_indexed(
-        assigned, probe_clusters(cents, query_vec, nprobe), query_vec, k
+        assigned, probe_clusters_quant(cents, query_vec, nprobe), query_vec, k
     )
 
 

@@ -84,3 +84,91 @@ def test_cosine_pairs_blocked(spark, emb_df, emb_np):
         va, vb = lookup[a], lookup[b]
         exp = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
         assert c == pytest.approx(exp, rel=1e-9) and c >= 0.95
+
+
+# ----------------------------------------------- deterministic k-means IVF
+
+def _clustered_embeddings(spark, n=400, dim=16, n_clusters=8, noise=0.25):
+    """Deterministic clustered vectors (no RNG): cluster k's members sit at
+    unit axis e_k plus integer-hash pseudo-noise. Cluster id (i*i)%C so the
+    LOWEST ids cover only 3 of the 8 clusters — the case that separates a
+    data-aware quantizer from the legacy first-N one."""
+    rows = []
+    for i in range(n):
+        k = (i * i) % n_clusters
+        v = [0.0] * dim
+        v[k] = 1.0
+        for j in range(dim):
+            h = (i * 2654435761 + j * 40503) & 0xFFFF
+            v[j] += ((h / 65535.0) - 0.5) * noise
+        rows.append((i, [float(x) for x in v], k))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def _recall_at_10(ids, mat, assigned_df, cents, probe_fn, qids, nprobe=2):
+    un = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    a = {r["vec_id"]: r["cluster"] for r in assigned_df.collect()}
+    rs = []
+    for qid in qids:
+        qi = list(ids).index(qid)
+        q = un[qi]
+        brute = set(int(i) for i in ids[np.argsort(-(un @ q))[:10]])
+        probe = set(probe_fn(cents, [float(x) for x in mat[qi]], nprobe))
+        sims = [
+            (float(un[j] @ q), int(i))
+            for j, i in enumerate(ids)
+            if a[int(i)] in probe
+        ]
+        got = set(i for _, i in sorted(sims, reverse=True)[:10])
+        rs.append(len(brute & got) / 10)
+    return sum(rs) / len(rs)
+
+
+def test_ivf_kmeans_recall_on_clustered_data(spark):
+    """On cluster-structured data (the regime IVF exists for), k-means
+    centroids give recall@10 ≥ 0.8 at nprobe=2 of 8, and beat the legacy
+    first-N-by-id centroids, which cover only 3 of the 8 true clusters
+    here. (The driver's embeddings fixture is near-uniform on the sphere —
+    measured intra/inter-label cosines both ≈0 — so NO coarse quantizer
+    can hit a recall bar on it; the bar belongs on structured data.)"""
+    emb = _clustered_embeddings(spark)
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    qids = [0, 7, 13, 42, 99]
+
+    assigned, cents = SIM.build_ivf_index(emb, n_centroids=8, n_iter=4)
+    km = _recall_at_10(ids, mat, assigned, cents, SIM.probe_clusters_quant, qids)
+
+    legacy_cents = SIM.deterministic_centroids(emb, 8)
+    legacy_assigned = SIM.assign_clusters(emb, legacy_cents)
+    legacy = _recall_at_10(
+        ids, mat, legacy_assigned, legacy_cents, SIM.probe_clusters, qids
+    )
+
+    # (first-N also recalls well when clusters are cleanly separated — any
+    # deterministic assignment keeps a separated cluster intact — so the
+    # meaningful bar is the absolute one, plus never-worse-than-legacy)
+    assert km >= 0.8, f"kmeans recall@10 {km}"
+    assert km >= legacy, f"kmeans {km} regressed vs first-N {legacy}"
+
+
+def test_kmeans_matches_duckdb_replay(spark, emb_df):
+    """The k-means loop is exact integer algebra: Spark centroids equal the
+    DuckDB CTE replay (kmeans_oracle_ctes) bit-for-bit."""
+    import duckdb
+
+    cents = SIM.kmeans_centroids(emb_df, 6, n_iter=3)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    km = SIM.kmeans_oracle_ctes(6, 3)
+    rows = con.sql(f"WITH {km} SELECT cid, i, q FROM cfin ORDER BY cid, i").fetchall()
+    byc: dict[int, dict[int, int]] = {}
+    for cid, i, q in rows:
+        byc.setdefault(cid, {})[i] = q
+    oracle = sorted((cid, [d[i] for i in sorted(d)]) for cid, d in byc.items())
+    assert [(c, list(v)) for c, v in cents] == oracle
