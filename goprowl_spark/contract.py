@@ -310,27 +310,64 @@ def _corpus_link_edges(spark: SparkSession, n: int):
     )
 
 
+def _robots_body(host_col: str = "host"):
+    return F.concat(
+        F.lit("User-agent: crawler\nDisallow: /never-"),
+        F.col(host_col),
+        F.lit("\nAllow: /never-"),
+        F.col(host_col),
+        F.lit("/except\n\nUser-agent: x\nUser-agent: *\nDisallow: /a/"),
+        F.col(host_col),
+        F.lit("\nDisallow: /b:c # note\nAllow: /fine\nCrawl-delay: 2\nDisallow:"),
+    )
+
+
+ROBOTS_BODY_SQL = (
+    "'User-agent: crawler' || chr(10) || 'Disallow: /never-' || source\n"
+    "         || chr(10) || 'Allow: /never-' || source || '/except'\n"
+    "         || chr(10) || chr(10) || 'User-agent: x' || chr(10) || 'User-agent: *'\n"
+    "         || chr(10) || 'Disallow: /a/' || source || chr(10)\n"
+    "         || 'Disallow: /b:c # note' || chr(10) || 'Allow: /fine'\n"
+    "         || chr(10) || 'Crawl-delay: 2' || chr(10) || 'Disallow:'"
+)
+
+
 def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed robots.txt parsing (P5 fetch-side): synthetic per-host
-    bodies exercising UA grouping, comments, empty Disallow, non-star
-    groups; the window-algebra parser must extract exactly the star-group
-    prefixes. Output exploded (host, prefix) — portable across engines."""
+    bodies exercising UA grouping, comments, empty Disallow, Allow rules,
+    Crawl-delay, non-star groups; with no crawler UA the star groups apply.
+    Output exploded (host, prefix, allow) — portable across engines."""
     from goprowl_spark import politeness
 
     hosts = (
         _docs(spark, sf_dir).select(F.col("source").alias("host")).distinct()
     )
-    body = F.concat(
-        F.lit("User-agent: crawler\nDisallow: /never-"),
-        F.col("host"),
-        F.lit("\n\nUser-agent: x\nUser-agent: *\nDisallow: /a/"),
-        F.col("host"),
-        F.lit("\nDisallow: /b:c # note\nAllow: /fine\nDisallow:"),
+    parsed = politeness.parse_robots_txt(hosts.withColumn("body", _robots_body()))
+    return (
+        parsed.select("host", F.explode("rules").alias("r"))
+        .select("host", F.col("r.prefix").alias("prefix"), F.col("r.allow").alias("allow"))
+        .orderBy("host", "prefix", "allow")
     )
-    parsed = politeness.parse_robots_txt(hosts.withColumn("body", body))
-    return parsed.select(
-        "host", F.explode("disallow_prefixes").alias("prefix")
-    ).orderBy("host", "prefix")
+
+
+def q_robots_rules_ua(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Specific-UA group selection (RFC 9309): hosts with a group for OUR
+    user agent use only that group — star groups are ignored for them. The
+    same bodies as robots_parse, parsed as agent 'crawler', must yield the
+    crawler group's Disallow + its longest-match Allow carve-out."""
+    from goprowl_spark import politeness
+
+    hosts = (
+        _docs(spark, sf_dir).select(F.col("source").alias("host")).distinct()
+    )
+    parsed = politeness.parse_robots_txt(
+        hosts.withColumn("body", _robots_body()), user_agent="crawler"
+    )
+    return (
+        parsed.select("host", F.explode("rules").alias("r"))
+        .select("host", F.col("r.prefix").alias("prefix"), F.col("r.allow").alias("allow"))
+        .orderBy("host", "prefix", "allow")
+    )
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1333,15 +1370,20 @@ FROM documents ORDER BY doc_id
     "robots_parse": (
         "WITH robots AS (\n"
         "  SELECT DISTINCT source AS host,\n"
-        "         'User-agent: crawler' || chr(10) || 'Disallow: /never-' || source\n"
-        "         || chr(10) || chr(10) || 'User-agent: x' || chr(10) || 'User-agent: *'\n"
-        "         || chr(10) || 'Disallow: /a/' || source || chr(10)\n"
-        "         || 'Disallow: /b:c # note' || chr(10) || 'Allow: /fine'\n"
-        "         || chr(10) || 'Disallow:' AS body\n"
+        f"         {ROBOTS_BODY_SQL} AS body\n"
         "  FROM documents\n"
         "),\n"
         + politeness_mod.parse_robots_txt_sql("robots")
-        + "\nSELECT host, prefix FROM prefixes ORDER BY host, prefix"
+        + "\nSELECT host, prefix, allow FROM rules ORDER BY host, prefix, allow"
+    ),
+    "robots_rules_ua": (
+        "WITH robots AS (\n"
+        "  SELECT DISTINCT source AS host,\n"
+        f"         {ROBOTS_BODY_SQL} AS body\n"
+        "  FROM documents\n"
+        "),\n"
+        + politeness_mod.parse_robots_txt_sql("robots", user_agent="crawler")
+        + "\nSELECT host, prefix, allow FROM rules ORDER BY host, prefix, allow"
     ),
     "pagerank": _pagerank_oracle(),
     "hits_scores": _hits_oracle(),
@@ -1455,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25,
         "bm25_batch": q_bm25_batch,
         "robots_parse": q_robots_parse,
+        "robots_rules_ua": q_robots_rules_ua,
         "pagerank": q_pagerank,
         "hits_scores": q_hits,
         "tfidf_batch": q_tfidf_batch,

@@ -28,12 +28,44 @@ DEFAULT_SALT = 16
 def apply_robots(candidates: DataFrame, robots_rules: DataFrame | None) -> DataFrame:
     """Drop candidate URLs disallowed by their host's robots rules.
 
-    Broadcast join (robots table is per-host, small); prefix matching is a
-    JVM-side higher-order function — no UDF.
+    Broadcast join (robots table is per-host, small); matching is JVM-side
+    higher-order-function algebra — no UDF.
+
+    Two rule-table shapes are accepted:
+
+    * ``(host, rules array<struct<prefix,allow,plen,pattern>>)`` — the full
+      REP grammar from :func:`parse_robots_txt`: Allow + Disallow with
+      longest-match precedence (RFC 9309 / Google parser: the matching rule
+      with the longest ``prefix`` wins; equal lengths → Allow wins) and
+      ``*``/``$`` wildcards, matched via the precompiled ``pattern``.
+    * ``(host, disallow_prefixes array<string>)`` — the legacy
+      Disallow-only prefix shape (kept for hand-built rule tables).
     """
     if robots_rules is None:
         return candidates
     path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    if "rules" in robots_rules.columns:
+        joined = candidates.join(
+            F.broadcast(robots_rules.select("host", "rules")),
+            on="host",
+            how="left",
+        )
+        matches = F.filter(
+            F.coalesce(F.col("rules"), F.array()),
+            lambda r: F.regexp_like(path, r["pattern"]),
+        )
+
+        def best(pred):
+            return F.aggregate(
+                F.filter(matches, pred),
+                F.lit(-1),
+                lambda acc, r: F.greatest(acc, r["plen"]),
+            )
+
+        best_dis = best(lambda r: ~r["allow"])
+        best_allow = best(lambda r: r["allow"])
+        allowed = (best_dis == F.lit(-1)) | (best_allow >= best_dis)
+        return joined.where(allowed).drop("rules")
     joined = candidates.join(
         F.broadcast(robots_rules.select("host", "disallow_prefixes")),
         on="host",
@@ -46,21 +78,51 @@ def apply_robots(candidates: DataFrame, robots_rules: DataFrame | None) -> DataF
     return joined.where(~disallowed).drop("disallow_prefixes")
 
 
+def robots_pattern(prefix: Column) -> Column:
+    """Compile a robots rule value to a Java regex (anchored at the path
+    start): ``*`` → ``.*``, a TRAILING ``$`` → end anchor, everything else
+    literal (REP / Google-parser wildcard grammar). Pure column algebra."""
+    anchored = prefix.endswith("$")
+    base = F.when(
+        anchored, prefix.substr(F.lit(1), F.length(prefix) - 1)
+    ).otherwise(prefix)
+    esc = F.regexp_replace(base, r"([.^$|?+(){}\[\]\\])", r"\\$1")
+    wild = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), wild, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
 def parse_robots_txt(
-    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    user_agent: str | None = None,
 ) -> DataFrame:
-    """(host, disallow_prefixes) parsed from raw robots.txt bodies — the
+    """(host, rules, crawl_delay) parsed from raw robots.txt bodies — the
     fetch-side of P5 (the reference delegates to temoto/robotstxt via
     colly, go.mod:59; here the parse itself is a distributed relational
     computation, no per-row stateful code).
 
-    Grammar honored (the subset the rules table consumes): groups =
-    consecutive ``User-agent:`` lines followed by their rules; a group
-    applies when any of its agents is ``*``; ``Disallow:`` values in
-    applying groups become prefixes (empty value = allow-all, per the
-    spec); ``#`` comments stripped; blank lines ignored (Google-parser
-    behavior). Entirely window algebra over posexploded lines, so the
-    DuckDB oracle replays it exactly.
+    Full REP grammar (RFC 9309 / temoto-robotstxt parity):
+
+    * groups = consecutive ``User-agent:`` lines followed by their rules;
+    * group selection: with ``user_agent`` given, hosts that have a group
+      for that agent (case-insensitive token match) use ONLY those groups;
+      otherwise (and for hosts without one) the ``*`` groups apply — the
+      specific-UA-overrides-star rule;
+    * ``Allow:`` AND ``Disallow:`` values become rules (empty value = no
+      rule, per spec); matching precedence is longest-``prefix``-wins with
+      Allow winning ties (:func:`apply_robots`);
+    * ``*`` / trailing ``$`` wildcards are compiled to the ``pattern``
+      column by :func:`robots_pattern`;
+    * ``Crawl-delay:`` (non-standard, parsed by temoto) → per-host max
+      seconds, surfaced for budget derivation;
+    * ``#`` comments stripped; blank lines ignored.
+
+    Entirely window algebra over posexploded lines, so the DuckDB oracle
+    replays rule extraction exactly (patterns are engine-internal — the
+    gate compares (host, prefix, allow)).
     """
     lines = robots.select(
         F.col(host_col).alias("host"),
@@ -70,6 +132,8 @@ def parse_robots_txt(
     lower = F.lower(clean)
     is_ua = lower.startswith("user-agent:")
     is_dis = lower.startswith("disallow:")
+    is_allow = lower.startswith("allow:")
+    is_delay = lower.startswith("crawl-delay:")
     # value = everything after the FIRST colon (paths may contain ':')
     val = F.trim(F.regexp_replace(clean, r"^[^:]*:", ""))
     w = Window.partitionBy("host").orderBy("idx")
@@ -79,6 +143,8 @@ def parse_robots_txt(
             "idx",
             is_ua.alias("is_ua"),
             is_dis.alias("is_dis"),
+            is_allow.alias("is_allow"),
+            is_delay.alias("is_delay"),
             val.alias("val"),
         )
         .withColumn(
@@ -100,18 +166,70 @@ def parse_robots_txt(
         .select("host", "block_id")
         .distinct()
     )
-    return (
-        marked.where(F.col("is_dis") & (F.col("val") != ""))
-        .join(star_blocks, ["host", "block_id"])
+    if user_agent is not None:
+        spec_blocks = (
+            marked.where(
+                F.col("is_ua") & (F.lower(F.col("val")) == user_agent.lower())
+            )
+            .select("host", "block_id")
+            .distinct()
+        )
+        hosts_with_spec = spec_blocks.select("host").distinct()
+        chosen = spec_blocks.unionByName(
+            star_blocks.join(hosts_with_spec, "host", "left_anti")
+        )
+    else:
+        chosen = star_blocks
+    rule_rows = (
+        marked.where(
+            (F.col("is_dis") | F.col("is_allow")) & (F.col("val") != "")
+        )
+        .join(chosen, ["host", "block_id"])
+        .select(
+            "host",
+            F.struct(
+                F.col("val").alias("prefix"),
+                F.col("is_allow").alias("allow"),
+                F.length("val").alias("plen"),
+                robots_pattern(F.col("val")).alias("pattern"),
+            ).alias("rule"),
+        )
+    )
+    rules = rule_rows.groupBy("host").agg(
+        F.array_sort(F.collect_set("rule")).alias("rules")
+    )
+    delays = (
+        marked.where(F.col("is_delay"))
+        .join(chosen, ["host", "block_id"])
         .groupBy("host")
-        .agg(F.array_sort(F.collect_set("val")).alias("disallow_prefixes"))
+        .agg(F.max(F.expr("try_cast(val AS double)")).alias("crawl_delay"))
+    )
+    return (
+        rules.join(delays, "host", "full_outer")
+        .withColumn("rules", F.coalesce("rules", F.array()))
+        .select("host", "rules", "crawl_delay")
     )
 
 
-def parse_robots_txt_sql(robots_cte: str) -> str:
+def parse_robots_txt_sql(robots_cte: str, user_agent: str | None = None) -> str:
     """DuckDB twin of parse_robots_txt over a CTE/table ``(host, body)``;
-    returns (host, prefix) EXPLODED and ordered (array columns don't
-    hash portably across engines; the gate compares the exploded form)."""
+    ends in ``rules(host, prefix, allow)`` EXPLODED (array/struct columns
+    don't hash portably across engines; the gate compares the exploded
+    form — the compiled regex ``pattern`` is engine-internal and not
+    compared). Replays UA-group selection when ``user_agent`` is given."""
+    if user_agent is not None:
+        ua = user_agent.lower().replace("'", "''")
+        chosen = f"""spec_blocks AS (
+  SELECT DISTINCT host, block_id FROM marked WHERE is_ua AND lower(val) = '{ua}'
+),
+chosen AS (
+  SELECT host, block_id FROM spec_blocks
+  UNION
+  SELECT s.host, s.block_id FROM star_blocks s
+  WHERE s.host NOT IN (SELECT host FROM spec_blocks)
+)"""
+    else:
+        chosen = "chosen AS (SELECT host, block_id FROM star_blocks)"
     return f"""
 lines AS (
   SELECT host, i - 1 AS idx, arr[i] AS raw
@@ -122,18 +240,19 @@ marked0 AS (
   SELECT host, idx,
          lower(trim(str_split(raw, '#')[1])) LIKE 'user-agent:%' AS is_ua,
          lower(trim(str_split(raw, '#')[1])) LIKE 'disallow:%' AS is_dis,
+         lower(trim(str_split(raw, '#')[1])) LIKE 'allow:%' AS is_allow,
          trim(regexp_replace(trim(str_split(raw, '#')[1]), '^[^:]*:', '')) AS val
   FROM lines
 ),
 marked1 AS (
-  SELECT host, idx, is_ua, is_dis, val,
+  SELECT host, idx, is_ua, is_dis, is_allow, val,
          CASE WHEN is_ua AND NOT coalesce(
            lag(is_ua) OVER (PARTITION BY host ORDER BY idx), FALSE)
          THEN 1 ELSE 0 END AS is_block_start
   FROM marked0
 ),
 marked AS (
-  SELECT host, idx, is_ua, is_dis, val,
+  SELECT host, idx, is_ua, is_dis, is_allow, val,
          sum(is_block_start)
            OVER (PARTITION BY host ORDER BY idx ROWS UNBOUNDED PRECEDING) AS block_id
   FROM marked1
@@ -141,10 +260,14 @@ marked AS (
 star_blocks AS (
   SELECT DISTINCT host, block_id FROM marked WHERE is_ua AND val = '*'
 ),
+{chosen},
+rules AS (
+  SELECT DISTINCT m.host, m.val AS prefix, m.is_allow AS allow
+  FROM marked m JOIN chosen s USING (host, block_id)
+  WHERE (m.is_dis OR m.is_allow) AND m.val <> ''
+),
 prefixes AS (
-  SELECT DISTINCT m.host, m.val AS prefix
-  FROM marked m JOIN star_blocks s USING (host, block_id)
-  WHERE m.is_dis AND m.val <> ''
+  SELECT host, prefix FROM rules WHERE NOT allow
 )"""
 
 

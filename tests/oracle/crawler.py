@@ -18,9 +18,30 @@ per-document span sequences.
 
 from __future__ import annotations
 
+import re
 from urllib.parse import urlsplit
 
 from goprowl_spark import corpus
+
+
+def robots_allowed(rules, path: str) -> bool:
+    """REP rule matching (temoto/robotstxt + RFC 9309 semantics): rules are
+    (prefix, allow) pairs — bare strings mean Disallow — with ``*`` and
+    trailing ``$`` wildcards; the matching rule with the longest prefix
+    wins, Allow winning length ties; no match → allowed."""
+    best_len, best_allow = -1, True
+    for r in rules:
+        prefix, allow = (r, False) if isinstance(r, str) else r
+        anchored = prefix.endswith("$")
+        base = prefix[:-1] if anchored else prefix
+        pat = "^" + re.escape(base).replace(r"\*", ".*") + ("$" if anchored else "")
+        if re.match(pat, path):
+            pl = len(prefix)
+            if pl > best_len:
+                best_len, best_allow = pl, allow
+            elif pl == best_len:
+                best_allow = best_allow or allow
+    return best_len < 0 or best_allow
 
 
 def crawl_oracle(
@@ -85,7 +106,7 @@ def crawl_oracle(
                 continue
             if robots and host in robots:
                 path = urlsplit(link).path or "/"
-                if any(path.startswith(p) for p in robots[host]):
+                if not robots_allowed(robots[host], path):
                     continue
             if link in seen:
                 continue

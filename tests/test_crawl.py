@@ -206,6 +206,62 @@ def test_parse_robots_txt_groups(spark):
         spark.createDataFrame([("h1.test", body), ("h2.test", "Disallow: /lost")],
                               ["host", "body"])
     ).collect()
-    got = {r["host"]: list(r["disallow_prefixes"]) for r in rows}
-    # h1: only the *'d group's non-empty disallows; h2: no UA group at all
-    assert got == {"h1.test": ["/a:b", "/tmp"]}
+    got = {
+        r["host"]: sorted((x["prefix"], x["allow"]) for x in r["rules"])
+        for r in rows
+    }
+    # h1: only the *'d group's non-empty rules; h2: no UA group at all
+    assert got == {"h1.test": [("/a:b", False), ("/ok", True), ("/tmp", False)]}
+
+
+def test_parse_robots_txt_ua_selection_and_delay(spark):
+    """RFC 9309 group selection: a host with a group for OUR agent uses
+    only that group; others fall back to *; Crawl-delay surfaces per host."""
+    from goprowl_spark.politeness import parse_robots_txt
+
+    b1 = (
+        "User-agent: GoProwl\nDisallow: /only-goprowl\nCrawl-delay: 7\n\n"
+        "User-agent: *\nDisallow: /star"
+    )
+    b2 = "User-agent: *\nDisallow: /star2\nCrawl-delay: 1.5"
+    rows = parse_robots_txt(
+        spark.createDataFrame([("h1.test", b1), ("h2.test", b2)], ["host", "body"]),
+        user_agent="goprowl",
+    ).collect()
+    got = {
+        r["host"]: (
+            sorted((x["prefix"], x["allow"]) for x in r["rules"]),
+            r["crawl_delay"],
+        )
+        for r in rows
+    }
+    assert got == {
+        "h1.test": ([("/only-goprowl", False)], 7.0),
+        "h2.test": ([("/star2", False)], 1.5),
+    }
+
+
+def test_robots_allow_carveout_enforced(spark, tmp_path):
+    """Full REP grammar end-to-end: an Allow carve-out under a broader
+    Disallow (longest-match precedence) plus a $-anchored Disallow, parsed
+    from a raw robots.txt body into the rules table, must reproduce the
+    sequential oracle's REP matcher decision for every candidate."""
+    from goprowl_spark.politeness import parse_robots_txt
+
+    seeds = [corpus.url(0)]
+    body = "User-agent: *\nDisallow: /p/1\nAllow: /p/12\nDisallow: /p/3$\n"
+    robots_df = parse_robots_txt(
+        spark.createDataFrame([("h0.test", body)], ["host", "body"])
+    )
+    cfg = CrawlConfig(seeds=seeds, max_depth=4)
+    engine = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, N),
+        str(tmp_path / "cat"),
+        cfg,
+        robots_rules=robots_df,
+    )
+    engine.run()
+    rules = [("/p/1", False), ("/p/12", True), ("/p/3$", False)]
+    oracle = crawl_oracle(N, seeds, 4, robots={"h0.test": rules})
+    assert_trace_equal(engine, oracle)
