@@ -14,31 +14,58 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _event_stream(spark: SparkSession, events_path: str):
+    """readStream over a single parquet file OR a directory of them (the
+    directory form is the restart path: new files are consumed on the next
+    run against the same checkpoint)."""
+    import os
+
+    schema = spark.read.parquet(events_path).schema
+    if os.path.isdir(events_path) and not events_path.endswith(".parquet"):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(events_path)
+        )
+    else:
+        # FileStreamSource needs a directory; glob-filter to the one file
+        base_dir, _, fname = events_path.rpartition("/")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", fname)
+            .parquet(base_dir)
+        )
+    # parquet NTZ timestamps → event-time watermarks need TIMESTAMP (session
+    # TZ is pinned to UTC, so the wall-clock instant is unchanged)
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def windowed_event_counts(
     spark: SparkSession,
     events_path: str,
     window: str = "5 minutes",
     watermark: str = "10 minutes",
     query_name: str = "goprowl_windowed_counts",
+    checkpoint_dir: str | None = None,
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Tumbling-window counts/sums per event_type over a parquet-backed
     stream, driven to completion synchronously (availableNow) and returned
     as a batch DataFrame.
 
-    Production shape: readStream from Kafka/log-bucket, writeStream to an
-    Iceberg metrics table with checkpointing; identical plan.
+    Two shapes:
+
+    * demo/test harness (default): ``complete`` mode into a memory sink —
+      every window, including ones the watermark hasn't finalized;
+    * production (``checkpoint_dir`` + ``sink_dir``): **append** mode into
+      a parquet table with a checkpoint — the shape a real deployment runs
+      (readStream from Kafka/log-bucket, writeStream to an Iceberg metrics
+      table). Append emits each window once, when the watermark passes its
+      end; windows still open when the bounded input drains stay in state
+      and flush on a later run against the same checkpoint (restart path —
+      pinned in tests/test_streaming.py).
     """
-    schema = spark.read.parquet(events_path).schema
-    # FileStreamSource needs a directory; glob-filter down to the one file
-    base_dir, _, fname = events_path.rpartition("/")
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", fname)
-        .parquet(base_dir)
-    )
-    # parquet NTZ timestamps → event-time watermarks need TIMESTAMP (session
-    # TZ is pinned to UTC, so the wall-clock instant is unchanged)
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _event_stream(spark, events_path)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -53,6 +80,17 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+    if sink_dir is not None:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink_dir)
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
@@ -87,14 +125,7 @@ def stream_distinct_keys(
     the driver oracle verifies values, not just shape. Production:
     readStream from the log bus, writeStream append to an Iceberg table
     with checkpointing; identical plan."""
-    schema = spark.read.parquet(events_path).schema
-    base_dir, _, fname = events_path.rpartition("/")
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", fname)
-        .parquet(base_dir)
-    )
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _event_stream(spark, events_path)
     deduped = (
         stream.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark([*keys])
@@ -210,23 +241,7 @@ def sessionize_stream(
             ],
         )
 
-    import os
-
-    schema = spark.read.parquet(events_path).schema
-    if os.path.isdir(events_path) and not events_path.endswith(".parquet"):
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "*.parquet")
-            .parquet(events_path)
-        )
-    else:
-        base_dir, _, fname = events_path.rpartition("/")
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", fname)
-            .parquet(base_dir)
-        )
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _event_stream(spark, events_path)
     sessions = (
         stream.withWatermark("ts", watermark)
         .groupBy("user_id")
