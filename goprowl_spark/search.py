@@ -16,7 +16,10 @@ Bug-compatible quirks preserved (each pinned by tests):
 * phrase and fuzzy matching are case-SENSITIVE contains; simple/field terms
   are case-insensitive (basic_search.go:242-289);
 * fuzziness parses the first byte after '~' as a digit (query.go:80-92) but
-  matching ignores it (plain contains);
+  matching ignores it (plain contains); ``strict=True`` upgrades fuzzy
+  terms to REAL edit-distance matching (any whitespace token within
+  ``levenshtein() <= max(fuzziness, 1)`` of the term, case-insensitive —
+  the behavior the reference's '~' syntax promises but never implements);
 * scoring weights: phrase 3/2, fuzzy 2/1, title 2, content 1; unknown
   field → 0;
 * facets count doc types over ALL docs, not the filtered hits
@@ -109,16 +112,31 @@ def parse_query(query_str: str, processor: bool = False) -> list[QueryTerm]:
 
 # ------------------------------------------------------------ spark compile
 
-def term_score_col(term: QueryTerm, title: Column, content: Column) -> Column:
+def term_score_col(
+    term: QueryTerm, title: Column, content: Column, fuzzy_lev: bool = False
+) -> Column:
     """calculateRelevancy for one term (basic_search.go:242-289), times the
-    term's Boost (processor.go:23 + BoostScore multiply, ranker.go:35-41)."""
+    term's Boost (processor.go:23 + BoostScore multiply, ranker.go:35-41).
+    ``fuzzy_lev`` (strict mode) swaps fuzzy terms' contains for real
+    token-level edit distance — JVM-side ``exists``/``levenshtein``."""
     def hit(col: Column, needle: str, w: float, ci: bool) -> Column:
         c = F.lower(col) if ci else col
         n = needle.lower() if ci else needle
         return F.when(c.contains(F.lit(n)), F.lit(w)).otherwise(F.lit(0.0))
 
+    def lev_hit(col: Column, w: float) -> Column:
+        dist = max(term.fuzziness, 1)
+        tokens = F.split(F.lower(col), r"\s+")
+        m = F.exists(
+            tokens,
+            lambda t: F.levenshtein(t, F.lit(term.text.lower())) <= F.lit(dist),
+        )
+        return F.when(m, F.lit(w)).otherwise(F.lit(0.0))
+
     if term.type == PHRASE:
         raw = hit(title, term.text, 3.0, False) + hit(content, term.text, 2.0, False)
+    elif term.type == FUZZY and fuzzy_lev:
+        raw = lev_hit(title, 2.0) + lev_hit(content, 1.0)
     elif term.type == FUZZY:
         raw = hit(title, term.text, 2.0, False) + hit(content, term.text, 1.0, False)
     elif term.field == "title":
@@ -132,17 +150,22 @@ def term_score_col(term: QueryTerm, title: Column, content: Column) -> Column:
     return raw if term.boost == 1.0 else raw * F.lit(term.boost)
 
 
-def term_match_col(term: QueryTerm, title: Column, content: Column) -> Column:
+def term_match_col(
+    term: QueryTerm, title: Column, content: Column, fuzzy_lev: bool = False
+) -> Column:
     """Whether the term matches at all (strict AND/NOT enforcement)."""
-    return term_score_col(term, title, content) > 0
+    return term_score_col(term, title, content, fuzzy_lev) > 0
 
 
 def compile_score(
-    terms: list[QueryTerm], title: Column, content: Column
+    terms: list[QueryTerm],
+    title: Column,
+    content: Column,
+    fuzzy_lev: bool = False,
 ) -> Column:
     score = F.lit(0.0)
     for t in terms:
-        score = score + term_score_col(t, title, content)
+        score = score + term_score_col(t, title, content, fuzzy_lev)
     return score
 
 
@@ -173,14 +196,14 @@ def search(
     if terms is None:
         terms = parse_query(query_str, processor=processor)
     title, content = F.col(title_col), F.col(content_col)
-    score = compile_score(terms, title, content)
+    score = compile_score(terms, title, content, fuzzy_lev=strict)
     df = documents.withColumn("score", score)
     for k, v in (filters or {}).items():
         if k == "type":  # only `type` implemented (basic_search.go:291-302)
             df = df.where(F.col(type_col) == F.lit(v))
     if strict:
         for t in terms:
-            m = term_match_col(t, title, content)
+            m = term_match_col(t, title, content, fuzzy_lev=strict)
             if t.required:
                 df = df.where(m)
             elif t.excluded:

@@ -31,9 +31,16 @@ from pyspark.sql import types as T
 
 
 class SnapshotCatalog:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, emit_iceberg_sql: bool = False
+    ):
         self.spark = spark
         self.root = root
+        # behind this flag every commit also records the Iceberg SQL the
+        # production catalog swap would run (see the generators at the
+        # bottom of this module); golden-pinned in tests/test_tables.py
+        self.emit_iceberg_sql = emit_iceberg_sql
+        self.emitted_sql: list[str] = []
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
 
     # ------------------------------------------------------------ manifest
@@ -182,6 +189,27 @@ class SnapshotCatalog:
             )
         manifest["snapshots"][str(sid)] = entry
         manifest["current"] = sid
+        if self.emit_iceberg_sql:
+            for name in sorted(tables or {}):
+                cols = projections.get(name)
+                if cols:
+                    self.emitted_sql.append(
+                        iceberg_overwrite_sql(f"{name}_base")
+                    )
+                    self.emitted_sql.append(
+                        iceberg_projection_view_sql(name, f"{name}_base", cols)
+                    )
+                else:
+                    self.emitted_sql.append(iceberg_overwrite_sql(name))
+            for name in sorted(appends or {}):
+                cols = projections.get(name)
+                if cols:
+                    self.emitted_sql.append(iceberg_append_sql(f"{name}_base"))
+                    self.emitted_sql.append(
+                        iceberg_projection_view_sql(name, f"{name}_base", cols)
+                    )
+                else:
+                    self.emitted_sql.append(iceberg_append_sql(name))
         self._write_manifest(manifest)
         return sid
 
@@ -216,12 +244,103 @@ class SnapshotCatalog:
         return manifest["snapshots"].get(str(sid), {}).get("properties", {})
 
 
-def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    table_name: str | None = None,
+    emitted_sql: list[str] | None = None,
+) -> DataFrame:
     """MERGE-INTO stand-in: rows in ``updates`` replace same-key rows in
     ``target`` (reference upsert-by-URL: bleve/storage.go:65-91). On Iceberg
-    this is a real ``MERGE INTO ... ON t.key = u.key``."""
+    this is a real ``MERGE INTO ... ON t.key = u.key`` — pass ``table_name``
+    and an ``emitted_sql`` list to record the exact statement the production
+    swap would run (golden-pinned in tests/test_tables.py)."""
+    if emitted_sql is not None and table_name is not None:
+        emitted_sql.append(iceberg_merge_upsert_sql(table_name, key))
     return target.join(updates.select(key), on=key, how="left_anti").unionByName(
         updates
+    )
+
+
+# ------------------------------------------------------- Iceberg SQL emission
+#
+# The sandbox has no Iceberg runtime jar, so SnapshotCatalog implements the
+# snapshot contract over parquet+manifest. These generators produce the SQL
+# a real Iceberg deployment runs for each catalog operation, so the swap is
+# mechanical: same call sites, `spark.sql(stmt)` instead of manifest edits.
+# The statements are golden-pinned in tests/test_tables.py.
+
+ICEBERG_NAMESPACE = "goprowl"
+
+
+def _qualified(name: str, catalog: str) -> str:
+    return f"{catalog}.{ICEBERG_NAMESPACE}.{name}"
+
+
+def iceberg_create_table_sql(
+    name: str,
+    schema: T.StructType,
+    partition_by: tuple[str, ...] = (),
+    catalog: str = "spark_catalog",
+) -> str:
+    cols = ",\n  ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    )
+    part = (
+        f"\nPARTITIONED BY ({', '.join(partition_by)})" if partition_by else ""
+    )
+    return (
+        f"CREATE TABLE IF NOT EXISTS {_qualified(name, catalog)} (\n  {cols}\n)"
+        f"\nUSING iceberg{part}"
+        "\nTBLPROPERTIES ('format-version' = '2', "
+        "'write.distribution-mode' = 'hash')"
+    )
+
+
+def iceberg_merge_upsert_sql(
+    name: str, key: str, source: str = "updates", catalog: str = "spark_catalog"
+) -> str:
+    t = _qualified(name, catalog)
+    return (
+        f"MERGE INTO {t} t\nUSING {source} u\nON t.{key} = u.{key}\n"
+        "WHEN MATCHED THEN UPDATE SET *\n"
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def iceberg_append_sql(
+    name: str, source: str = "staged", catalog: str = "spark_catalog"
+) -> str:
+    return f"INSERT INTO {_qualified(name, catalog)}\nSELECT * FROM {source}"
+
+
+def iceberg_overwrite_sql(
+    name: str, source: str = "staged", catalog: str = "spark_catalog"
+) -> str:
+    return (
+        f"INSERT OVERWRITE {_qualified(name, catalog)}\nSELECT * FROM {source}"
+    )
+
+
+def iceberg_projection_view_sql(
+    view: str, source: str, columns: list[str], catalog: str = "spark_catalog"
+) -> str:
+    """The manifest's projection entry (two logical tables over one physical
+    delta) is a metadata-only view on Iceberg."""
+    return (
+        f"CREATE OR REPLACE VIEW {_qualified(view, catalog)} AS\n"
+        f"SELECT {', '.join(columns)} FROM {_qualified(source, catalog)}"
+    )
+
+
+def iceberg_rollback_sql(
+    name: str, snapshot_id: int, catalog: str = "spark_catalog"
+) -> str:
+    """Resume-from-checkpoint = snapshot rollback on Iceberg."""
+    return (
+        f"CALL {catalog}.system.rollback_to_snapshot"
+        f"('{ICEBERG_NAMESPACE}.{name}', {snapshot_id})"
     )
 
 

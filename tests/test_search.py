@@ -223,3 +223,21 @@ def test_boost_sql_parity():
     terms[0].boost = 2.5
     sql = S.compile_score_sql(terms, "title", "content")
     assert "* 2.5" in sql and "data" in sql
+
+
+def test_strict_mode_fuzzy_is_real_levenshtein(spark, docs_df):
+    """Q6 strict path: '~N' means token edit distance ≤ N (case-insensitive)
+    in strict mode — while the default stays the reference's bug-compatible
+    case-sensitive contains that ignores the fuzziness entirely."""
+    # 'spork' is distance 1 from token 'spark': no contains-match anywhere
+    assert S.search(docs_df, "spork~1", size=10).collect() == []
+    rows = S.search(docs_df, "spork~1", strict=True, size=10).collect()
+    # u1 title token 'Spark' (ci) → +2; u2 title → +2 and content 'Spark' → +1
+    assert score_of(rows, "u1") == 2.0
+    assert score_of(rows, "u2") == 3.0
+    assert score_of(rows, "u4") == 1.0  # content tokens only
+    # distance 2 needed for 'sprk' vs 'spark'? no — 'sprk'→'spark' is 1 insert
+    rows = S.search(docs_df, "sprke~1", strict=True, size=10).collect()
+    assert rows == []  # 'sprke' is distance 2 from 'spark'
+    rows = S.search(docs_df, "sprke~2", strict=True, size=10).collect()
+    assert score_of(rows, "u2") == 3.0

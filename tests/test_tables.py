@@ -40,3 +40,74 @@ def test_merge_upsert_replaces_by_key(spark):
     updates = spark.createDataFrame([("b", 2), ("c", 2)], "k string, v int")
     got = {tuple(r) for r in merge_upsert(target, updates, "k").collect()}
     assert got == {("a", 1), ("b", 2), ("c", 2)}
+
+
+def test_iceberg_sql_emission_goldens(spark, tmp_path):
+    """The Iceberg statements the production catalog swap would run are
+    pinned exactly: upsert, append, overwrite, projection-commit (the
+    shared seen/frontier delta as a metadata-only view), create, rollback.
+    The swap is mechanical — same call sites, spark.sql(stmt) instead of
+    manifest edits — so these strings ARE the migration contract."""
+    from pyspark.sql import types as T
+
+    from goprowl_spark import tables as tb
+
+    # merge_upsert records its MERGE INTO when given a table name + sink
+    emitted: list[str] = []
+    target = spark.createDataFrame([("a", 1)], "k string, v int")
+    updates = spark.createDataFrame([("a", 2)], "k string, v int")
+    tb.merge_upsert(target, updates, "k", table_name="documents", emitted_sql=emitted)
+    assert emitted == [
+        "MERGE INTO spark_catalog.goprowl.documents t\n"
+        "USING updates u\n"
+        "ON t.k = u.k\n"
+        "WHEN MATCHED THEN UPDATE SET *\n"
+        "WHEN NOT MATCHED THEN INSERT *"
+    ]
+
+    # a staged commit with an append, a replace, and a projection entry
+    cat = SnapshotCatalog(spark, str(tmp_path), emit_iceberg_sql=True)
+    sid = cat.next_sid()
+    delta = spark.createDataFrame([("u", 1, 0)], "url string, url_hash long, depth int")
+    delta.write.parquet(cat.stage_path(sid, "crawl_delta"))
+    delta.write.parquet(cat.stage_path(sid, "crawl_metrics"))
+    cat.commit_staged(
+        sid,
+        tables={"frontier": cat.stage_path(sid, "crawl_delta")},
+        appends={
+            "seen": cat.stage_path(sid, "crawl_delta"),
+            "crawl_metrics": cat.stage_path(sid, "crawl_metrics"),
+        },
+        projections={
+            "seen": ["url", "url_hash"],
+            "frontier": ["url", "url_hash", "depth"],
+        },
+        properties={"round": 1},
+    )
+    assert cat.emitted_sql == [
+        "INSERT OVERWRITE spark_catalog.goprowl.frontier_base\nSELECT * FROM staged",
+        "CREATE OR REPLACE VIEW spark_catalog.goprowl.frontier AS\n"
+        "SELECT url, url_hash, depth FROM spark_catalog.goprowl.frontier_base",
+        "INSERT INTO spark_catalog.goprowl.crawl_metrics\nSELECT * FROM staged",
+        "INSERT INTO spark_catalog.goprowl.seen_base\nSELECT * FROM staged",
+        "CREATE OR REPLACE VIEW spark_catalog.goprowl.seen AS\n"
+        "SELECT url, url_hash FROM spark_catalog.goprowl.seen_base",
+    ]
+
+    # DDL + resume
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("depth", T.IntegerType()),
+        ]
+    )
+    assert tb.iceberg_create_table_sql("frontier", schema, ("depth",)) == (
+        "CREATE TABLE IF NOT EXISTS spark_catalog.goprowl.frontier (\n"
+        "  url string,\n  depth int\n)\n"
+        "USING iceberg\nPARTITIONED BY (depth)\n"
+        "TBLPROPERTIES ('format-version' = '2', "
+        "'write.distribution-mode' = 'hash')"
+    )
+    assert tb.iceberg_rollback_sql("frontier", 7) == (
+        "CALL spark_catalog.system.rollback_to_snapshot('goprowl.frontier', 7)"
+    )
