@@ -804,6 +804,88 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_ref")
 
 
+MEDIA_PX_DOCS = 20
+
+
+def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel path through the pure-stdlib PNG codec: PNGs are encoded
+    from a deterministic pixel formula, decoded back (zlib inflate + full
+    unfilter — Paeth filter requested so the hardest branch runs), and
+    reduced to exact-integer-sum statistics. The oracle never touches PNG
+    bytes — it recomputes the SAME stats analytically from the pixel
+    formula, which is a valid twin because encode→decode is the identity
+    (round-trip-pinned in tests/test_multimodal.py)."""
+    from goprowl_spark.operators.multimodal import encode_png
+
+    ids = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(MEDIA_PX_DOCS)
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                px = bytes(
+                    (x * 37 + y * 101 + ch * 53 + did) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for ch in range(3)
+                )
+                rows.append(
+                    (did, f"img-{did}.png", "image",
+                     bytearray(encode_png(w, h, 3, px, filter_type=4)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "media_type", "payload"]
+            )
+
+    media = ids.mapInPandas(
+        build,
+        schema="doc_id bigint, media_ref string, media_type string, payload binary",
+    )
+    return multimodal.image_pixel_stats_exact(media).orderBy("doc_id")
+
+
+def _media_pixel_stats_oracle() -> str:
+    return f"""
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {MEDIA_PX_DOCS}),
+dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM ids),
+px AS (
+  SELECT d.doc_id, d.w, d.h, ch,
+         (x * 37 + y * 101 + ch * 53 + d.doc_id) % 256 AS v
+  FROM dims d,
+       generate_series(0, 7) gx(x),
+       generate_series(0, 5) gy(y),
+       generate_series(0, 2) gc(ch)
+  WHERE x < d.w AND y < d.h
+),
+agg AS (
+  SELECT doc_id, w, h, count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS sx,
+         CAST(sum(v * v) AS BIGINT) AS sxx,
+         CAST(sum(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS sr,
+         CAST(sum(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sg,
+         CAST(sum(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sb
+  FROM px GROUP BY doc_id, w, h
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       CAST(sx AS DOUBLE) / n AS mean_px,
+       sqrt(CAST(sxx AS DOUBLE) / n
+            - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS std_px,
+       (0.299 * CAST(sr AS DOUBLE) + 0.587 * CAST(sg AS DOUBLE)
+        + 0.114 * CAST(sb AS DOUBLE)) / (w * h) AS mean_luma
+FROM agg ORDER BY doc_id
+"""
+
+
 # ================================================================ oracles
 
 def _search_oracle(qstr: str) -> str:
@@ -1479,6 +1561,7 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
     "quality_scores": textstats.quality_scores_sql("documents", "doc_id", "text"),
     "doc_fingerprints": textstats.fingerprints_sql("documents", "doc_id", "text"),
     "media_decode": _media_decode_oracle(),
+    "media_pixel_stats": _media_pixel_stats_oracle(),
 }
 
 
@@ -1534,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprints": q_doc_fingerprints,
         "media_decode": q_media_decode,
+        "media_pixel_stats": q_media_pixel_stats,
     }
     for name, qstr in SEARCH_QUERIES.items():
         qs[name] = _mk_search(qstr)

@@ -3,11 +3,23 @@
 The corpus's ``media`` spans (kind='media', media_ref=URL) become a media
 table with a deterministic synthetic payload (sandbox stand-in for blob
 fetch). Decode / feature-extract / resize / frame-sample run as
-Arrow-batched pandas UDFs over ``mapInPandas`` — the Spark-side plumbing
-(schemas, batch iteration, partitioning) is real and tested; the actual
-codec call is STUBBED behind an import-try (PIL/ffmpeg are not in this
-container): with no codec installed a clearly-marked deterministic fake
-decoder derives metadata from the payload bytes, so pipelines exercise
+Arrow-batched pandas UDFs over ``mapInPandas``.
+
+How real each codec is (all stdlib — no PIL/ffmpeg in this container):
+
+* **PNG: fully real.** :func:`decode_png_pixels` inflates IDAT (zlib) and
+  unfilters every scanline (all five filter types); pixel-level features
+  and nearest-neighbor resize run on actual pixels. Round-trip-pinned
+  against :func:`encode_png`.
+* **WAV: fully real.** 16-bit PCM samples via struct; rms/peak/duration.
+* **JPEG/GIF: header-real, pixels stubbed** — their entropy coders
+  genuinely need a codec library; dimensions/channels parse from SOF/LSD
+  headers and :class:`UnsupportedMedia` guards the pixel path.
+* **Video: stubbed** (frame hashes via posexplode; a real decoder would
+  seek those timestamps).
+
+For fully synthetic corpora (payload = hash bytes), :func:`decode_media`
+falls back to a clearly-marked deterministic fake so pipelines exercise
 identical shapes end-to-end.
 """
 
@@ -165,6 +177,347 @@ def decode_media(media: DataFrame, sniff_headers: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+# ------------------------------------------------------ real pixel codecs
+#
+# Pure-stdlib codecs (zlib + struct are always present) so the pixel path
+# is REAL for PNG and WAV — no PIL/ffmpeg needed. JPEG/GIF/video remain
+# header-sniff only (their entropy coders genuinely need a codec library;
+# the honest NotImplementedError guard stays for those).
+
+
+class UnsupportedMedia(NotImplementedError):
+    """Raised when bytes need a codec this container doesn't ship
+    (JPEG/GIF entropy decode, video, interlaced or 16-bit PNG)."""
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Full PNG decode (stdlib only): chunk walk → zlib-inflate IDAT →
+    per-scanline unfilter (all five filter types: None/Sub/Up/Average/
+    Paeth) → packed row-major pixel bytes. Supports 8-bit depth, color
+    types gray/RGB/palette/gray+alpha/RGBA, non-interlaced. Returns
+    (width, height, channels, pixels) with palette rows expanded to RGB."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise UnsupportedMedia("not a PNG")
+    pos, w = 8, None
+    idat, plte = b"", b""
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+            bit_depth, color_type, _, _, interlace = data[8:13]
+            if bit_depth != 8:
+                raise UnsupportedMedia(f"bit depth {bit_depth}")
+            if interlace:
+                raise UnsupportedMedia("Adam7 interlacing")
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+            if channels is None:
+                raise UnsupportedMedia(f"color type {color_type}")
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if w is None:
+        raise UnsupportedMedia("no IHDR")
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise UnsupportedMedia(f"filter {ftype}")
+        out += line
+        prev = line
+    if color_type == 3:  # palette → expand to RGB
+        rgb = bytearray()
+        for idx in out:
+            rgb += plte[idx * 3 : idx * 3 + 3]
+        return w, h, 3, bytes(rgb)
+    return w, h, channels, bytes(out)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    filter_type: int = 0,
+) -> bytes:
+    """Minimal PNG encoder (stdlib only) — the round-trip twin of
+    :func:`decode_png_pixels` and the fixture builder for tests; any of
+    the five scanline filters can be requested so every unfilter branch
+    is exercised."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    stride = width * channels
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = bytearray(pixels[y * stride : (y + 1) * stride])
+        enc = bytearray(line)
+        if filter_type == 1:
+            for i in range(stride - 1, channels - 1, -1):
+                enc[i] = (line[i] - line[i - channels]) & 0xFF
+        elif filter_type == 2:
+            for i in range(stride):
+                enc[i] = (line[i] - prev[i]) & 0xFF
+        elif filter_type == 3:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                enc[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif filter_type == 4:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([filter_type]) + enc
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_wav_samples(payload: bytes) -> tuple[int, int, list[int]]:
+    """PCM WAV decode (stdlib struct): returns (n_channels, sample_rate,
+    interleaved 16-bit samples). Non-PCM or non-16-bit → UnsupportedMedia."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise UnsupportedMedia("not a WAV")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise UnsupportedMedia("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise UnsupportedMedia(f"format {audio_format}/{bits}bit")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    return n_channels, sample_rate, samples
+
+
+def resize_pixels_nearest(
+    width: int, height: int, channels: int, pixels: bytes, out_w: int, out_h: int
+) -> bytes:
+    """Real nearest-neighbor resample over decoded pixel bytes (numpy,
+    vectorized per image) — deterministic, codec-free."""
+    import numpy as np
+
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    ys = (np.arange(out_h) * height) // out_h
+    xs = (np.arange(out_w) * width) // out_w
+    return img[ys][:, xs].tobytes()
+
+
+def image_pixel_features(media: DataFrame) -> DataFrame:
+    """REAL pixel-level image features over decodable payloads (PNG): mean /
+    std per image, mean luma, and a pixel hash — mapInPandas, one Arrow
+    batch per iteration, numpy math per image. Rows whose payloads need an
+    absent codec (JPEG/GIF/video/garbage) are dropped — the operator only
+    claims what it really decoded."""
+    import numpy as np
+
+    schema = (
+        "doc_id string, media_ref string, width int, height int, "
+        "n_channels int, mean_px double, std_px double, mean_luma double, "
+        "px_hash long"
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for did, ref, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                try:
+                    w, h, c, px = decode_png_pixels(bytes(payload))
+                except (UnsupportedMedia, Exception):
+                    continue
+                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+                if c >= 3:
+                    luma = (
+                        0.299 * img[..., 0]
+                        + 0.587 * img[..., 1]
+                        + 0.114 * img[..., 2]
+                    )
+                else:
+                    luma = img[..., 0].astype(np.float64)
+                rows.append(
+                    (
+                        did,
+                        ref,
+                        w,
+                        h,
+                        c,
+                        float(img.mean()),
+                        float(img.std()),
+                        float(luma.mean()),
+                        zlib.crc32(px) - (1 << 31),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_ref", "width", "height", "n_channels",
+                    "mean_px", "std_px", "mean_luma", "px_hash",
+                ],
+            )
+
+    return media.mapInPandas(feats, schema=schema)
+
+
+def image_pixel_stats_exact(media: DataFrame) -> DataFrame:
+    """Oracle-replayable twin of :func:`image_pixel_features`: every
+    statistic derives from EXACT integer pixel sums with a fixed float op
+    order (sum/n, sqrt(sxx/n - (sx/n)²), weighted-luma/npix), so a SQL
+    oracle that knows the pixel values reproduces the numbers bit-for-bit
+    — the same engine-independence discipline as the k-means quantizer.
+    The payload still goes through the REAL PNG codec."""
+    import math
+
+    schema = (
+        "doc_id bigint, width bigint, height bigint, n_channels int, "
+        "mean_px double, std_px double, mean_luma double"
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, c, px = decode_png_pixels(bytes(payload))
+                except (UnsupportedMedia, Exception):
+                    continue
+                n = w * h * c
+                sx = sum(px)
+                sxx = sum(v * v for v in px)
+                mean = sx / n
+                std = math.sqrt(sxx / n - (sx / n) * (sx / n))
+                if c >= 3:
+                    sr = sum(px[0::c])
+                    sg = sum(px[1::c])
+                    sb = sum(px[2::c])
+                    luma = (0.299 * sr + 0.587 * sg + 0.114 * sb) / (w * h)
+                else:
+                    luma = sum(px[0::c]) / (w * h)
+                rows.append((int(did), w, h, c, mean, std, luma))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels",
+                    "mean_px", "std_px", "mean_luma",
+                ],
+            )
+
+    return media.mapInPandas(feats, schema=schema)
+
+
+def audio_pcm_features(media: DataFrame) -> DataFrame:
+    """REAL sample-level audio features over decodable payloads (16-bit PCM
+    WAV): rms, peak, duration — same drop-what-you-can't-decode contract
+    as :func:`image_pixel_features`."""
+    import math
+
+    schema = (
+        "doc_id string, media_ref string, n_channels int, sample_rate int, "
+        "n_samples long, duration_ms double, rms double, peak int"
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, ref, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                try:
+                    nch, rate, samples = decode_wav_samples(bytes(payload))
+                except (UnsupportedMedia, Exception):
+                    continue
+                n = len(samples)
+                rms = (
+                    math.sqrt(sum(s * s for s in samples) / n) if n else 0.0
+                )
+                rows.append(
+                    (
+                        did,
+                        ref,
+                        nch,
+                        rate,
+                        n,
+                        (n / nch) / rate * 1000.0 if rate and nch else 0.0,
+                        rms,
+                        max((abs(s) for s in samples), default=0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_ref", "n_channels", "sample_rate",
+                    "n_samples", "duration_ms", "rms", "peak",
+                ],
+            )
+
+    return media.mapInPandas(feats, schema=schema)
 
 
 def resize_media(decoded: DataFrame, max_side: int = 128) -> DataFrame:

@@ -108,3 +108,131 @@ def test_parse_media_header_real_containers():
 
     # unknown container → None (stub decoder takes over)
     assert parse_media_header(b"\x00" * 32) is None
+
+
+def _checker_pixels(w, h, c):
+    return bytes(
+        ((x * 37 + y * 101 + ch * 53) % 256)
+        for y in range(h)
+        for x in range(w)
+        for ch in range(c)
+    )
+
+
+def test_png_roundtrip_every_filter_type():
+    """encode→decode recovers exact pixels for every scanline filter
+    (None/Sub/Up/Average/Paeth) and every supported channel count — this
+    pins each unfilter branch of the pure-stdlib codec."""
+    from goprowl_spark.operators.multimodal import decode_png_pixels, encode_png
+
+    for channels in (1, 2, 3, 4):
+        px = _checker_pixels(9, 7, channels)
+        for ftype in range(5):
+            blob = encode_png(9, 7, channels, px, filter_type=ftype)
+            assert decode_png_pixels(blob) == (9, 7, channels, px), (
+                f"filter {ftype} channels {channels}"
+            )
+
+
+def test_png_palette_and_unsupported():
+    import struct
+    import zlib
+
+    from goprowl_spark.operators.multimodal import (
+        UnsupportedMedia,
+        decode_png_pixels,
+    )
+
+    # hand-built 2x2 palette PNG: indices 0..3 → expands to the palette RGB
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 3])
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(blob) == (
+        2, 2, 3, bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(UnsupportedMedia):
+        decode_png_pixels(b"\xff\xd8not a png")
+
+
+def test_wav_decode_and_resize_pixels():
+    import io
+    import wave
+
+    from goprowl_spark.operators.multimodal import (
+        decode_wav_samples,
+        resize_pixels_nearest,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        import struct as _s
+
+        wf.writeframes(_s.pack("<6h", 100, -100, 200, -200, 300, -300))
+    nch, rate, samples = decode_wav_samples(buf.getvalue())
+    assert (nch, rate) == (2, 8000)
+    assert samples == [100, -100, 200, -200, 300, -300]
+
+    # nearest-neighbor downsample halves a 4x2 image to 2x1 deterministically
+    px = _checker_pixels(4, 2, 3)
+    out = resize_pixels_nearest(4, 2, 3, px, 2, 1)
+    assert len(out) == 2 * 1 * 3
+    assert out[:3] == px[:3]  # top-left pixel preserved
+
+
+def test_image_and_audio_features_real_pixels(spark):
+    """The pixel/sample feature operators decode REAL payloads and drop
+    undecodable rows — verified against numpy on the same pixels."""
+    import io
+    import struct as _s
+    import wave
+
+    import numpy as np
+
+    from goprowl_spark.operators import multimodal as MM
+
+    px = _checker_pixels(8, 6, 3)
+    png = MM.encode_png(8, 6, 3, px, filter_type=4)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(_s.pack("<4h", 1000, -1000, 2000, -2000))
+    media = spark.createDataFrame(
+        [
+            ("d1", "a.png", "image", bytearray(png)),
+            ("d2", "b.wav", "audio", bytearray(buf.getvalue())),
+            ("d3", "c.jpg", "image", bytearray(b"\xff\xd8garbage")),
+        ],
+        "doc_id string, media_ref string, media_type string, payload binary",
+    )
+    img = MM.image_pixel_features(media).collect()
+    assert [r["doc_id"] for r in img] == ["d1"]
+    arr = np.frombuffer(px, dtype=np.uint8)
+    assert img[0]["mean_px"] == float(arr.mean())
+    assert abs(img[0]["std_px"] - float(arr.std())) < 1e-9
+    assert img[0]["width"] == 8 and img[0]["n_channels"] == 3
+
+    aud = MM.audio_pcm_features(media).collect()
+    assert [r["doc_id"] for r in aud] == ["d2"]
+    a = aud[0]
+    assert a["n_samples"] == 4 and a["peak"] == 2000
+    assert a["duration_ms"] == 4 / 16000 * 1000
+    exp_rms = float(np.sqrt(np.mean(np.array([1000, -1000, 2000, -2000]) ** 2.0)))
+    assert abs(a["rms"] - exp_rms) < 1e-9
