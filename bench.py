@@ -225,7 +225,9 @@ def percore_speed_ratio(lo: int, hi: int) -> float:
 
     try:
         run(lo)  # warm
-        return round(run(hi) / run(lo), 3)
+        # a ratio below 1 (hi-core run FASTER per core) is host-noise in the
+        # probe itself — clamp: normalization must never lower the raw number
+        return round(max(1.0, run(hi) / run(lo)), 3)
     except FileNotFoundError:  # no taskset
         return 1.0
     finally:
