@@ -335,22 +335,23 @@ class CrawlEngine:
         n_popped = int(fstats["n"] or 0)
         mark("fetch_parse_write")
 
-        # S3/P2/P3: expand links (from the just-written columnar docs —
-        # only the spans column is read back) → candidates at depth+1.
+        # S3/P2/P3: expand links (from the just-written columnar docs — only
+        # the spans + fetched_depth columns are read back) → candidates at
+        # depth+1. MAP-ONLY up to the bloom cogroup: the documents table
+        # carries the fetch depth so there is no join back to the popped
+        # batch, and per-url min-depth dedup happens INSIDE the bucket
+        # cogroup (the bucket already holds every occurrence of a url), so
+        # the old groupBy("url") pre-shuffle is gone — an unbudgeted BFS
+        # round now pays exactly TWO wide shuffles (bucket cogroup + the
+        # maybe-side anti-join).
         docs_stored = self.spark.read.parquet(docs_path)
         links = extract_links(docs_stored)
-        parent_depth = popped.select(
-            F.col("url").alias("src_url"), F.col("depth").alias("src_depth")
-        )
-        candidates = (
-            links.join(parent_depth, "src_url")
-            .select(
+        raw_candidates = (
+            links.select(
                 F.col("link").alias("url"),
-                (F.col("src_depth") + 1).alias("depth"),
+                (F.col("src_depth") + 1).cast("int").alias("depth"),
             )
             .where(F.col("depth") <= cfg.max_depth)
-            .groupBy("url")
-            .agg(F.min("depth").cast("int").alias("depth"))
             .select(
                 "url",
                 F.xxhash64("url").alias("url_hash"),
@@ -360,10 +361,10 @@ class CrawlEngine:
             .where(F.col("host").isNotNull())
         )
         if cfg.allowed_hosts is not None:
-            candidates = candidates.where(F.col("host").isin(cfg.allowed_hosts))
-        candidates = apply_robots(candidates, self.robots_rules)
-        obs_cand = Observation(f"cand_r{r}_{sid}")
-        candidates = candidates.observe(obs_cand, F.count(F.lit(1)).alias("n"))
+            raw_candidates = raw_candidates.where(
+                F.col("host").isin(cfg.allowed_hosts)
+            )
+        raw_candidates = apply_robots(raw_candidates, self.robots_rules)
 
         # P4/J1/U7: Bloom-pruned exact dedup; wave 2 writes the seen delta.
         # Probe and update run as ONE fused cogroup pass (probe_and_update):
@@ -371,17 +372,19 @@ class CrawlEngine:
         # Python/Arrow pass for both the membership test and the blob
         # delta, instead of the two passes the split design cost.
         fused = None
+        obs_cand = None
         if cfg.use_bloom:
             compact = (
                 cfg.bloom_compact_every > 0 and r % cfg.bloom_compact_every == 0
             )
             fused = seen_filter.probe_and_update(
-                candidates,
+                raw_candidates,
                 blooms,
                 cfg.n_buckets,
                 cfg.bits_per_bucket,
                 gen=r,
                 emit_untouched=compact,
+                dedup=True,
             ).persist(StorageLevel.MEMORY_AND_DISK)
             probed = fused.where(F.col("filter_blob").isNull())
             cand_cols = ["url", "url_hash", "host", "depth"]
@@ -392,6 +395,14 @@ class CrawlEngine:
             )
         else:
             compact = False
+            candidates = (
+                raw_candidates.groupBy("url", "url_hash", "host")
+                .agg(F.min("depth").cast("int").alias("depth"))
+            )
+            obs_cand = Observation(f"cand_r{r}_{sid}")
+            candidates = candidates.observe(
+                obs_cand, F.count(F.lit(1)).alias("n")
+            )
             unseen = candidates.join(
                 seen, on=["url_hash", "url"], how="left_anti"
             )
@@ -416,7 +427,17 @@ class CrawlEngine:
         )
         delta_path = self.catalog.stage_path(sid, "crawl_delta")
         new_entries.write.mode("overwrite").parquet(delta_path)
-        n_cand = int(obs_cand.get["n"] or 0)
+        if fused is not None:
+            # the cogroup stamps each blob row with the bucket's post-dedup
+            # candidate count — summing 64 cached rows replaces the old
+            # Observation over the (now gone) groupBy stage
+            n_cand = int(
+                fused.where(F.col("filter_blob").isNotNull())
+                .agg(F.coalesce(F.sum("n_cands"), F.lit(0)))
+                .collect()[0][0]
+            )
+        else:
+            n_cand = int(obs_cand.get["n"] or 0)
         n_new = int(obs_new.get["n"] or 0)
         mark("dedup_seen_write")
 

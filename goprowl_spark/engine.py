@@ -61,6 +61,7 @@ class GoProwlSearchEngine:
                     doc_type,
                     None,
                     None,
+                    None,
                     metadata,
                     permission_read,
                     permission_write,

@@ -251,6 +251,11 @@ def with_document_columns(fetched: DataFrame, round_no: int) -> DataFrame:
             F.lit("webpage").alias("doc_type"),
             F.xxhash64(content).alias("content_hash"),
             F.lit(round_no).cast("int").alias("fetched_round"),
+            # the fetch batch's BFS depth rides into the table so link
+            # expansion is a map-only projection (spans, fetched_depth) —
+            # no join back to the popped batch (a full extra shuffle pair
+            # per round before this column existed)
+            F.col("depth").cast("int").alias("fetched_depth"),
             # the reference adapter stores the links list in metadata
             # (adapters/storage/adapter.go:42-72); map<string,string> per
             # SURVEY §1, so the list is space-joined
@@ -266,9 +271,14 @@ def with_document_columns(fetched: DataFrame, round_no: int) -> DataFrame:
 def extract_links(documents: DataFrame) -> DataFrame:
     """documents → (src_url, src_depth?, link) one row per link span, in
     document order (reference: OnHTML("a[href]") colly.go:84-99). Links are
-    already canonical absolute URLs from the parse UDF."""
+    already canonical absolute URLs from the parse UDF. ``src_depth`` is
+    included when the table carries ``fetched_depth`` (map-only; columnar
+    scan prunes to spans + fetched_depth)."""
+    cols = [F.col("doc_id").alias("src_url")]
+    if "fetched_depth" in documents.columns:
+        cols.append(F.col("fetched_depth").alias("src_depth"))
     return documents.select(
-        F.col("doc_id").alias("src_url"),
+        *cols,
         F.explode(
             F.transform(
                 F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("link")),

@@ -36,6 +36,7 @@ DOCUMENTS = T.StructType(
         T.StructField("doc_type", T.StringType(), True),
         T.StructField("content_hash", T.LongType(), True),
         T.StructField("fetched_round", T.IntegerType(), True),
+        T.StructField("fetched_depth", T.IntegerType(), True),
         T.StructField(
             "metadata", T.MapType(T.StringType(), T.StringType()), True
         ),

@@ -178,6 +178,7 @@ def probe_and_update(
     bits_per_bucket: int = DEFAULT_BITS_PER_BUCKET,
     gen: int = 0,
     emit_untouched: bool = False,
+    dedup: bool = False,
 ) -> DataFrame:
     """Fused probe + update: ONE cogroup pass per round instead of two.
 
@@ -185,7 +186,14 @@ def probe_and_update(
 
     * candidate rows — original columns + ``maybe_seen`` (the probe);
     * one blob row per touched bucket — the bucket's blob with ALL the
-      bucket's candidate hashes inserted, stamped ``gen``.
+      bucket's candidate hashes inserted, stamped ``gen`` and carrying
+      ``n_cands`` (the bucket's candidate count after dedup).
+
+    With ``dedup`` the per-url min-depth reduction ALSO happens inside
+    this pass: a url's rows always land in one bucket, so the bucket
+    group sees every occurrence — pandas-side dedup replaces the whole
+    upstream ``groupBy("url")`` shuffle (one less wide dependency per
+    crawl round; requires a ``depth`` column).
 
     Inserting all candidates (not just the post-anti-join survivors) is
     bit-identical to inserting only the new entries: a candidate either
@@ -209,6 +217,7 @@ def probe_and_update(
             T.StructField("filter_blob", T.BinaryType(), True),
             T.StructField("n_items", T.LongType(), True),
             T.StructField("gen", T.IntegerType(), True),
+            T.StructField("n_cands", T.LongType(), True),
         ]
     )
     cand_cols = [f.name for f in with_bucket.schema.fields]
@@ -221,6 +230,15 @@ def probe_and_update(
         else:
             blob, n = _latest_blob(blobs)
             have_blob = True
+        if dedup and not cand.empty:
+            # per-url min depth, deterministic (stable sort; url unique
+            # after drop_duplicates) — bit-identical to the old
+            # groupBy("url").agg(min("depth")) it replaces
+            cand = (
+                cand.sort_values(["url", "depth"], kind="mergesort")
+                .drop_duplicates("url", keep="first")
+                .reset_index(drop=True)
+            )
         if not cand.empty:
             arr = cand["url_hash"].to_numpy(dtype=np.int64)
             seen_flags = (
@@ -234,6 +252,7 @@ def probe_and_update(
                     filter_blob=None,
                     n_items=pd.array([None] * len(cand), dtype="Int64"),
                     gen=pd.array([None] * len(cand), dtype="Int32"),
+                    n_cands=pd.array([None] * len(cand), dtype="Int64"),
                 )
             )
             _set_bits(blob, arr, bits_per_bucket)
@@ -245,11 +264,13 @@ def probe_and_update(
             blob_row["filter_blob"] = [blob.tobytes()]
             blob_row["n_items"] = [n]
             blob_row["gen"] = [gen]
+            blob_row["n_cands"] = [len(cand)]
             out.append(pd.DataFrame(blob_row))
         if not out:
             return pd.DataFrame(
                 {c: pd.Series([], dtype=object) for c in
-                 cand_cols + ["maybe_seen", "filter_blob", "n_items", "gen"]}
+                 cand_cols
+                 + ["maybe_seen", "filter_blob", "n_items", "gen", "n_cands"]}
             )
         return pd.concat(out, ignore_index=True)
 

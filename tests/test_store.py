@@ -16,6 +16,7 @@ def _doc(doc_id: str, title: str):
         "webpage",
         hash(title),
         1,
+        0,
         {"origin": "test"},
         None,
         None,
