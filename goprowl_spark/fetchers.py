@@ -31,10 +31,15 @@ def make_http_fetcher(
     fuse_parse: bool = True,
     max_bytes: int = 1 << 20,
     user_agent: str = "goprowl-spark",
+    backend: str = "auto",
 ):
     """Build a fetcher callable: ``fetch(batch(url, depth)) -> DataFrame``
     with the same output schema as ``corpus.make_fetcher`` (fused:
-    ``url, depth, status, fetch_latency_ms, spans``; raw: ``..., html``)."""
+    ``url, depth, status, fetch_latency_ms, spans``; raw: ``..., html``).
+
+    ``backend``: ``auto`` uses requests when importable, else the stdlib
+    urllib fallback; ``stdlib`` forces the fallback (both paths must record
+    identical statuses — pinned by the loopback test)."""
     import pandas as pd
 
     from goprowl_spark import schemas
@@ -42,14 +47,26 @@ def make_http_fetcher(
 
     def gen(batches):
         try:
+            if backend == "stdlib":
+                raise ImportError("stdlib backend forced")
             import requests
 
             session = requests.Session()
             session.headers["User-Agent"] = user_agent
 
             def get(u):
-                resp = session.get(u, timeout=timeout_s)
-                return resp.status_code, resp.text[:max_bytes]
+                # stream=True + chunked read: max_bytes bounds the network
+                # transfer and task memory, not just the kept prefix (one
+                # multi-GB URL must not stall or OOM a fetch task)
+                with session.get(u, timeout=timeout_s, stream=True) as resp:
+                    buf = b""
+                    for chunk in resp.iter_content(chunk_size=1 << 16):
+                        buf += chunk
+                        if len(buf) >= max_bytes:
+                            break
+                    return resp.status_code, buf[:max_bytes].decode(
+                        resp.encoding or "utf-8", "replace"
+                    )
 
             errors: tuple = (requests.RequestException,)
         except ImportError:  # stdlib fallback, same semantics
@@ -60,10 +77,16 @@ def make_http_fetcher(
             opener.addheaders = [("User-Agent", user_agent)]
 
             def get(u):
-                with opener.open(u, timeout=timeout_s) as resp:
-                    return resp.status, resp.read(max_bytes).decode(
-                        "utf-8", "replace"
-                    )
+                # urllib raises HTTPError (a URLError subclass) for every
+                # non-2xx response; record the real status like the
+                # requests path does instead of collapsing it to 0
+                try:
+                    with opener.open(u, timeout=timeout_s) as resp:
+                        return resp.status, resp.read(max_bytes).decode(
+                            "utf-8", "replace"
+                        )
+                except urllib.error.HTTPError as e:
+                    return e.code, None
 
             errors = (urllib.error.URLError, OSError, ValueError)
 

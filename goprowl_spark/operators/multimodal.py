@@ -25,6 +25,8 @@ identical shapes end-to-end.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -157,8 +159,6 @@ def decode_media(media: DataFrame, sniff_headers: bool = True) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAS_PIL and False:  # real path placeholder (no real images here)
-                raise NotImplementedError("real decode not wired in sandbox")
             meta = [
                 (parse_media_header(p) if sniff_headers else None)
                 or _fake_decode(p)
@@ -391,7 +391,7 @@ def image_pixel_features(media: DataFrame) -> DataFrame:
             ):
                 try:
                     w, h, c, px = decode_png_pixels(bytes(payload))
-                except (UnsupportedMedia, Exception):
+                except (UnsupportedMedia, zlib.error, struct.error, ValueError, IndexError):
                     continue
                 img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
                 if c >= 3:
@@ -446,7 +446,7 @@ def image_pixel_stats_exact(media: DataFrame) -> DataFrame:
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     w, h, c, px = decode_png_pixels(bytes(payload))
-                except (UnsupportedMedia, Exception):
+                except (UnsupportedMedia, zlib.error, struct.error, ValueError, IndexError):
                     continue
                 n = w * h * c
                 sx = sum(px)
@@ -491,7 +491,7 @@ def audio_pcm_features(media: DataFrame) -> DataFrame:
             ):
                 try:
                     nch, rate, samples = decode_wav_samples(bytes(payload))
-                except (UnsupportedMedia, Exception):
+                except (UnsupportedMedia, zlib.error, struct.error, ValueError, IndexError):
                     continue
                 n = len(samples)
                 rms = (

@@ -126,7 +126,12 @@ def term_score_col(
 
     def lev_hit(col: Column, w: float) -> Column:
         dist = max(term.fuzziness, 1)
-        tokens = F.split(F.lower(col), r"\s+")
+        # split on \s+ yields '' tokens for empty text or edge whitespace,
+        # and levenshtein('', t) == len(t) would make any short fuzzy term
+        # match every such document — drop empty tokens first
+        tokens = F.filter(
+            F.split(F.lower(col), r"\s+"), lambda t: t != F.lit("")
+        )
         m = F.exists(
             tokens,
             lambda t: F.levenshtein(t, F.lit(term.text.lower())) <= F.lit(dist),

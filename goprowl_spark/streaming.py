@@ -81,6 +81,12 @@ def windowed_event_counts(
         )
     )
     if sink_dir is not None:
+        if checkpoint_dir is None:
+            raise ValueError(
+                "sink_dir requires checkpoint_dir: an append-mode parquet "
+                "sink is only restartable (and exactly-once) through its "
+                "checkpoint"
+            )
         q = (
             agg.writeStream.outputMode("append")
             .format("parquet")
@@ -90,7 +96,11 @@ def windowed_event_counts(
             .start()
         )
         q.awaitTermination()
-        return spark.read.parquet(sink_dir)
+        # explicit schema: the first availableNow run may finalize zero
+        # windows (all events inside the watermark horizon) and leave the
+        # sink without data files — schema inference would throw there,
+        # but that state is a legitimate one for the restart design
+        return spark.read.schema(agg.schema).parquet(sink_dir)
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
@@ -255,6 +265,12 @@ def sessionize_stream(
     )
     writer = sessions.writeStream.outputMode("append").trigger(availableNow=True)
     if sink_dir is not None:
+        if checkpoint_dir is None:
+            raise ValueError(
+                "sink_dir requires checkpoint_dir: an append-mode parquet "
+                "sink is only restartable (and exactly-once) through its "
+                "checkpoint"
+            )
         q = (
             writer.format("parquet")
             .option("path", sink_dir)
@@ -262,7 +278,9 @@ def sessionize_stream(
             .start()
         )
         q.awaitTermination()
-        return spark.read.parquet(sink_dir)
+        # explicit schema — a run that closes zero sessions leaves the sink
+        # with no data files (see windowed_event_counts)
+        return spark.read.schema(sessions.schema).parquet(sink_dir)
     q = writer.format("memory").queryName(query_name).start()
     q.awaitTermination()
     return spark.table(query_name)

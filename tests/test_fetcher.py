@@ -114,3 +114,156 @@ def test_http_fetcher_loopback(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_fetcher_stdlib_backend_status_parity(spark):
+    """The urllib fallback must record the same statuses as the requests
+    path: non-2xx responses surface their REAL code (urllib raises
+    HTTPError for those — it must not collapse to 0), connection failures
+    are status 0."""
+    import re
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from goprowl_spark import fetchers
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            m = re.fullmatch(r"/s/(\d+)", self.path)
+            code = int(m.group(1)) if m else 404
+            self.send_response(code)
+            self.end_headers()
+            if code == 200:
+                self.wfile.write(b"<html><title>ok</title></html>")
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        batch = spark.createDataFrame(
+            [
+                (f"{base}/s/200", 1),
+                (f"{base}/s/404", 1),
+                (f"{base}/s/500", 1),
+                ("http://127.0.0.1:1/refused", 1),
+            ],
+            "url string, depth int",
+        )
+        results = {}
+        for backend in ("auto", "stdlib"):
+            fetch = fetchers.make_http_fetcher(timeout_s=5, backend=backend)
+            results[backend] = {
+                r["url"]: r["status"] for r in fetch(batch).collect()
+            }
+        assert results["stdlib"] == results["auto"]
+        assert results["stdlib"][f"{base}/s/404"] == 404
+        assert results["stdlib"][f"{base}/s/500"] == 500
+        assert results["stdlib"]["http://127.0.0.1:1/refused"] == 0
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_crawl_engine_over_real_http_trace_equal(spark, tmp_path):
+    """Full CrawlEngine over the real-HTTP fetcher against a loopback
+    server that serves the synthetic corpus (hrefs rewritten to loopback,
+    reference statuses preserved): the seen-set, depths, and per-document
+    span sequences must equal the synthetic crawl's after reverse-mapping
+    loopback URLs back to corpus URLs."""
+    import re
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from goprowl_spark import fetchers
+
+    host_re = re.compile(r"(?i)https://h\d+\.test(:443)?")
+
+    srv_holder = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            m = re.fullmatch(r"/p/(\d+)", self.path)
+            i = int(m.group(1)) if m else -1
+            if not (0 <= i < N):
+                self.send_response(404)
+                self.end_headers()
+                return
+            code = corpus.status(i)
+            self.send_response(code)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            if code == 200:
+                body = host_re.sub(srv_holder["base"], corpus.html(i, N))
+                self.wfile.write(body.encode())
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    srv_holder["base"] = f"http://127.0.0.1:{port}"
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = srv_holder["base"]
+        cfg_synth = CrawlConfig(seeds=[corpus.url(0)], max_depth=4)
+        cfg_http = CrawlConfig(seeds=[f"{base}/p/0"], max_depth=4)
+        synth = CrawlEngine(
+            spark, None, str(tmp_path / "synth"), cfg_synth,
+            fetcher=corpus.make_fetcher(N),
+        )
+        synth.run()
+        http_eng = CrawlEngine(
+            spark, None, str(tmp_path / "http"), cfg_http,
+            fetcher=fetchers.make_http_fetcher(timeout_s=10),
+        )
+        http_eng.run()
+
+        def unmap(s: str) -> str:
+            # loopback page/img URLs -> the corpus URLs they stand in for
+            s = re.sub(
+                re.escape(base) + r"/p/(\d+)",
+                lambda m: corpus.url(int(m.group(1))),
+                s,
+            )
+            return re.sub(
+                re.escape(base) + r"/img/(\d+)_(\d+)\.png",
+                lambda m: corpus.media_url(int(m.group(1)), int(m.group(2))),
+                s,
+            )
+
+        seen_synth = sorted(
+            (r["url"], r["depth"]) for r in synth.seen().collect()
+        )
+        seen_http = sorted(
+            (unmap(r["url"]), r["depth"]) for r in http_eng.seen().collect()
+        )
+        assert seen_http == seen_synth
+
+        def doc_key(eng, mapper):
+            out = {}
+            for r in eng.documents().collect():
+                spans = [
+                    (s["kind"], s["text"], mapper(s["media_ref"]), s["offset"])
+                    for s in r["spans"]
+                ]
+                out[mapper(r["doc_id"])] = (
+                    r["title"],
+                    r["content"],
+                    r["content_hash"],
+                    r["fetched_round"],
+                    r["fetched_depth"],
+                    mapper(r["metadata"]["links"]),
+                    spans,
+                )
+            return out
+
+        docs_synth = doc_key(synth, lambda s: s)
+        docs_http = doc_key(http_eng, unmap)
+        assert docs_http == docs_synth
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -236,3 +236,38 @@ def test_image_and_audio_features_real_pixels(spark):
     assert a["duration_ms"] == 4 / 16000 * 1000
     exp_rms = float(np.sqrt(np.mean(np.array([1000, -1000, 2000, -2000]) ** 2.0)))
     assert abs(a["rms"] - exp_rms) < 1e-9
+
+
+def test_corrupt_png_dropped_not_swallowed(spark):
+    """Exception contract of the feature UDFs: a corrupt-but-PNG-magic
+    payload (truncated IDAT -> zlib.error) is DROPPED as undecodable, while
+    anything outside the codec's narrow failure set propagates — the catch
+    is (UnsupportedMedia, zlib.error, struct.error, ValueError, IndexError),
+    never bare Exception."""
+    import zlib
+
+    import pytest
+
+    from goprowl_spark.operators import multimodal as MM
+
+    px = _checker_pixels(8, 6, 3)
+    good = MM.encode_png(8, 6, 3, px, filter_type=2)
+    # valid signature + IHDR, IDAT cut mid-stream: zlib inflate fails
+    idat_at = good.index(b"IDAT")
+    corrupt = good[: idat_at + 10]
+    with pytest.raises(zlib.error):
+        MM.decode_png_pixels(corrupt)
+
+    media = spark.createDataFrame(
+        [
+            ("d1", "a.png", "image", bytearray(good)),
+            ("d2", "bad.png", "image", bytearray(corrupt)),
+        ],
+        "doc_id string, media_ref string, media_type string, payload binary",
+    )
+    img = MM.image_pixel_features(media).collect()
+    assert [r["doc_id"] for r in img] == ["d1"]
+
+    # a failure class outside the codec contract must surface, not vanish
+    with pytest.raises(TypeError):
+        MM.decode_png_pixels(None)
