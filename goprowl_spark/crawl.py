@@ -64,6 +64,12 @@ class CrawlConfig:
     # 475k round 3 — pure per-task dispatch overhead), so tasks are capped
     # at ~one per this many URLs, floored at one task per core.
     fetch_target_urls_per_task: int = 10_000
+    # Crawl-delay → budget derivation: when set, a robots_rules table that
+    # carries a crawl_delay column (parse_robots_txt output) yields per-host
+    # budgets of floor(round_seconds / crawl_delay) fetches per round — the
+    # deterministic batch form of colly's LimitRule Delay pacing
+    # (search/crawlers/colly.go:201-207). None = delays parsed but unused.
+    round_seconds: float | None = None
     # index crawled pages on write (the reference indexes every page into
     # bleve via the storage adapter): appends per-round postings/doc_stats
     # deltas tokenized from ONLY the round's new docs — dedup guarantees
@@ -102,6 +108,21 @@ class CrawlEngine:
         self.catalog = SnapshotCatalog(spark, workdir)
         self.config = config
         self.robots_rules = robots_rules
+        if (
+            config.round_seconds is not None
+            and robots_rules is not None
+            and "crawl_delay" in robots_rules.columns
+        ):
+            from goprowl_spark import politeness
+
+            delay_budget = politeness.budget_from_crawl_delay(
+                robots_rules, config.round_seconds
+            )
+            host_budget = (
+                delay_budget
+                if host_budget is None
+                else politeness.merge_host_budgets(host_budget, delay_budget)
+            )
         self.host_budget = host_budget
         self.fetcher = fetcher
         self.page_handler = page_handler

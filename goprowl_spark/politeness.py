@@ -271,6 +271,51 @@ prefixes AS (
 )"""
 
 
+def budget_from_crawl_delay(
+    robots_rules: DataFrame, round_seconds: float
+) -> DataFrame:
+    """Derive per-host fetch budgets from robots ``Crawl-delay`` — the loop
+    the reference closes via colly's LimitRule (Delay paces one request per
+    delay per domain, search/crawlers/colly.go:201-207; temoto parses the
+    directive). A batch round has no wall clock, so the budget models the
+    same rate limit deterministically: a host allowing one fetch per
+    ``crawl_delay`` seconds absorbs ``floor(round_seconds / crawl_delay)``
+    fetches in a round that represents ``round_seconds`` of wall time —
+    floored at 1 so a long delay throttles but never starves a host.
+
+    Input: the (host, rules, crawl_delay) table from
+    :func:`parse_robots_txt`. Hosts without a Crawl-delay get no row
+    (→ ``default_budget`` applies in :func:`pop_batch`). Output feeds
+    ``pop_batch``'s broadcast budget join unchanged.
+    """
+    return (
+        robots_rules.where(
+            F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0)
+        ).select(
+            "host",
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(float(round_seconds)) / F.col("crawl_delay")),
+            )
+            .cast("int")
+            .alias("max_fetches_per_round"),
+        )
+    )
+
+
+def merge_host_budgets(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Combine two (host, max_fetches_per_round) tables; where both bound a
+    host the most restrictive (minimum) wins — matching colly, where an
+    explicit LimitRule and a robots delay both apply."""
+    cols = ["host", "max_fetches_per_round"]
+    return (
+        a.select(*cols)
+        .unionByName(b.select(*cols))
+        .groupBy("host")
+        .agg(F.min("max_fetches_per_round").alias("max_fetches_per_round"))
+    )
+
+
 def pop_batch(
     frontier: DataFrame,
     host_budget: DataFrame | None,

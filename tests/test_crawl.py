@@ -265,3 +265,78 @@ def test_robots_allow_carveout_enforced(spark, tmp_path):
     rules = [("/p/1", False), ("/p/12", True), ("/p/3$", False)]
     oracle = crawl_oracle(N, seeds, 4, robots={"h0.test": rules})
     assert_trace_equal(engine, oracle)
+
+
+def test_crawl_delay_derives_host_budget(spark, tmp_path):
+    """Crawl-delay closes the loop to fetch pacing (reference: colly
+    LimitRule Delay, colly.go:201-207): with round_seconds=30 a host
+    declaring ``Crawl-delay: 10`` absorbs at most 3 fetches per round —
+    verified by trace equality against the oracle run with the equivalent
+    per-host budget, plus a direct per-round cap check on the throttled
+    host."""
+    from goprowl_spark.politeness import parse_robots_txt
+
+    seeds = [corpus.url(0), corpus.url(5)]
+    body = "User-agent: *\nCrawl-delay: 10\n"
+    robots_df = parse_robots_txt(
+        spark.createDataFrame([("h0.test", body)], ["host", "body"])
+    )
+    cfg = CrawlConfig(seeds=seeds, max_depth=3, round_seconds=30.0)
+    engine = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, N),
+        str(tmp_path / "cat"),
+        cfg,
+        robots_rules=robots_df,
+    )
+    engine.run(max_rounds=10)
+    oracle = crawl_oracle(
+        N, seeds, 3, host_budget={"h0.test": 3}, max_rounds=10
+    )
+    assert_trace_equal(engine, oracle)
+
+    # the throttled host really is capped at 3 fetches/round, and the cap
+    # binds (some round fetches exactly 3 h0 pages while h0 URLs remain)
+    per_round: dict[int, int] = {}
+    for r in engine.documents().select("doc_id", "fetched_round").collect():
+        if "h0.test" in r["doc_id"]:
+            per_round[r["fetched_round"]] = (
+                per_round.get(r["fetched_round"], 0) + 1
+            )
+    assert per_round and max(per_round.values()) <= 3
+    assert 3 in per_round.values()
+    # other hosts are NOT throttled: some round fetches >3 of one host
+    other: dict[tuple[int, str], int] = {}
+    from urllib.parse import urlsplit
+    for r in engine.documents().select("doc_id", "fetched_round").collect():
+        h = urlsplit(r["doc_id"]).hostname
+        if h != "h0.test":
+            other[(r["fetched_round"], h)] = other.get((r["fetched_round"], h), 0) + 1
+    assert max(other.values(), default=0) > 3
+
+
+def test_budget_from_crawl_delay_units(spark):
+    """floor(round_seconds/delay), floored at 1; null/zero delays get no
+    row; merge takes the most restrictive bound per host."""
+    from goprowl_spark.politeness import (
+        budget_from_crawl_delay,
+        merge_host_budgets,
+    )
+
+    robots = spark.createDataFrame(
+        [("a", 10.0), ("b", 0.5), ("c", 120.0), ("d", None), ("e", 0.0)],
+        "host string, crawl_delay double",
+    )
+    derived = budget_from_crawl_delay(robots, 30.0)
+    got = {
+        r["host"]: r["max_fetches_per_round"] for r in derived.collect()
+    }
+    assert got == {"a": 3, "b": 60, "c": 1}
+    explicit = spark.createDataFrame(
+        [("a", 1), ("z", 7)], "host string, max_fetches_per_round int"
+    )
+    merged = {
+        r["host"]: r["max_fetches_per_round"]
+        for r in merge_host_budgets(explicit, derived).collect()
+    }
+    assert merged == {"a": 1, "b": 60, "c": 1, "z": 7}
