@@ -1,0 +1,54 @@
+"""Gate-proofing the oracles: DuckDB silently promotes types in ways the
+driver's value hash is sensitive to (HUGEINT from window sums over BIGINT,
+DECIMAL from integer division) — a promoted column hash-mismatches Spark's
+BIGINT/DOUBLE even when every value agrees. This class of bug cost two
+rounds before tools/check_contract.py grew the assertion; this test runs
+the same assertion in CI so a type-promoting oracle can never merge red.
+
+Planning-only: duckdb relations expose .types from the bound plan without
+executing, so all ~50 oracles check in seconds.
+"""
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _oracles():
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as E
+
+    return E.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+@pytest.mark.parametrize("name", sorted(_oracles()))
+def test_oracle_plans_without_type_promotion(con, name):
+    sql = _oracles()[name]
+    rel = con.sql(sql)
+    cols = [d[0] for d in rel.description]
+    types = [str(t) for t in rel.types]
+    promoted = [
+        f"{c}:{t}"
+        for c, t in zip(cols, types)
+        if "HUGEINT" in t or t.startswith("DECIMAL")
+    ]
+    assert not promoted, (
+        f"oracle '{name}' plans promoted column types {promoted}; add an "
+        f"explicit CAST (BIGINT/DOUBLE) so the driver's value hash matches "
+        f"Spark"
+    )
