@@ -39,8 +39,9 @@ CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "1000000"))
 CRAWL_DEPTH = 2
 # repeat the lo/hi pair this many times and use each leg's fastest draw
 # (min wall = least host interference on this shared VM; the recorded
-# spread on identical binaries is ±30%+)
-CRAWL_DRAWS = int(os.environ.get("BENCH_DRAWS", "1"))
+# spread on identical binaries is ±30%+). Default 2: a single draw has
+# repeatedly recorded noise-hit legs as the round's official number.
+CRAWL_DRAWS = int(os.environ.get("BENCH_DRAWS", "2"))
 # the N-vs-4N scaling pair; 4/16 leaves scheduler headroom on a 32-core box
 SCALE_CORES_LO = int(os.environ.get("BENCH_CORES_LO", "4"))
 SCALE_CORES_HI = int(os.environ.get("BENCH_CORES_HI", "16"))
@@ -256,6 +257,13 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
+        # the north-rule numbers lead the object (BASELINE.json metric:
+        # URLs fetched+deduped/sec; scaling efficiency >=0.8 between N and
+        # 4N parallelism, raw — steady_round is the regime a 10^10
+        # frontier runs in, where per-round fixed cost is amortized)
+        "crawl_urls_per_sec": crawl_hi["urls_per_sec"],
+        "crawl_scaling_efficiency": round(eff, 3),
+        "crawl_scaling_efficiency_steady_round": round(eff_steady, 3),
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "crawl": {

@@ -394,6 +394,7 @@ class CrawlEngine:
         # delta, instead of the two passes the split design cost.
         fused = None
         obs_cand = None
+        n_cand = None
         if cfg.use_bloom:
             compact = (
                 cfg.bloom_compact_every > 0 and r % cfg.bloom_compact_every == 0
@@ -407,13 +408,69 @@ class CrawlEngine:
                 emit_untouched=compact,
                 dedup=True,
             ).persist(StorageLevel.MEMORY_AND_DISK)
+            # ONE aggregate materializes the cogroup into the cache and
+            # yields both counters the round needs: the post-dedup
+            # candidate count (from the blob rows — this job used to run
+            # AFTER the delta write) and the maybe-seen count, which picks
+            # the exact-join strategy below BEFORE the write job plans.
+            stats = fused.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("filter_blob").isNotNull(), F.col("n_cands")
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("n_cand"),
+                F.coalesce(
+                    F.sum(
+                        (
+                            F.col("filter_blob").isNull() & F.col("maybe_seen")
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("n_maybe"),
+            ).collect()[0]
+            n_cand = int(stats["n_cand"])
+            n_maybe = int(stats["n_maybe"])
             probed = fused.where(F.col("filter_blob").isNull())
             cand_cols = ["url", "url_hash", "host", "depth"]
             fresh = probed.where(~F.col("maybe_seen")).select(*cand_cols)
             maybe = probed.where(F.col("maybe_seen")).select(*cand_cols)
-            unseen = fresh.unionByName(
-                maybe.join(seen, on=["url_hash", "url"], how="left_anti")
-            )
+            if n_maybe == 0:
+                # no Bloom hits at all: nothing to check exactly
+                unseen = fresh
+            elif n_maybe <= cfg.broadcast_pop_limit:
+                # Double-broadcast exact check: the old
+                # maybe-anti-join-seen shuffled the ENTIRE seen table
+                # (growing every round) plus the maybe side. Instead:
+                # (1) scan seen map-only against broadcast(maybe) → the
+                #     confirmed-seen subset (≤ n_maybe rows),
+                # (2) anti-join maybe against broadcast(confirmed).
+                # maybe ∖ (seen ∩ maybe) ≡ maybe ∖ seen, and the round's
+                # dedup pays ZERO wide shuffles past the bucket cogroup —
+                # the seen table is read but never shuffled. The url
+                # equality re-check keeps 64-bit hash collisions harmless
+                # (exactness cannot ride on url_hash alone: at 10^10 URLs
+                # the birthday bound expects a few 64-bit collisions).
+                mb = maybe.select("url_hash", "url")
+                confirmed = seen.select("url_hash", "url").join(
+                    F.broadcast(mb), on=["url_hash", "url"], how="inner"
+                )
+                unseen = fresh.unionByName(
+                    maybe.join(
+                        F.broadcast(confirmed),
+                        on=["url_hash", "url"],
+                        how="left_anti",
+                    )
+                )
+            else:
+                # maybe-side too big to broadcast (possible only when a
+                # round re-encounters >broadcast_pop_limit known URLs):
+                # fall back to the shuffle anti-join
+                unseen = fresh.unionByName(
+                    maybe.join(seen, on=["url_hash", "url"], how="left_anti")
+                )
         else:
             compact = False
             candidates = (
@@ -448,16 +505,7 @@ class CrawlEngine:
         )
         delta_path = self.catalog.stage_path(sid, "crawl_delta")
         new_entries.write.mode("overwrite").parquet(delta_path)
-        if fused is not None:
-            # the cogroup stamps each blob row with the bucket's post-dedup
-            # candidate count — summing 64 cached rows replaces the old
-            # Observation over the (now gone) groupBy stage
-            n_cand = int(
-                fused.where(F.col("filter_blob").isNotNull())
-                .agg(F.coalesce(F.sum("n_cands"), F.lit(0)))
-                .collect()[0][0]
-            )
-        else:
+        if n_cand is None:
             n_cand = int(obs_cand.get["n"] or 0)
         n_new = int(obs_new.get["n"] or 0)
         mark("dedup_seen_write")
