@@ -12,9 +12,14 @@ How real each codec is (all stdlib — no PIL/ffmpeg in this container):
   and nearest-neighbor resize run on actual pixels. Round-trip-pinned
   against :func:`encode_png`.
 * **WAV: fully real.** 16-bit PCM samples via struct; rms/peak/duration.
-* **JPEG/GIF: header-real, pixels stubbed** — their entropy coders
-  genuinely need a codec library; dimensions/channels parse from SOF/LSD
-  headers and :class:`UnsupportedMedia` guards the pixel path.
+* **JPEG: baseline fully real.** :func:`decode_jpeg_pixels` Huffman-decodes
+  SOF0 scans (grayscale + YCbCr, 4:4:4 and 4:2:0, restart intervals),
+  dequantizes, runs the 8×8 IDCT and converts to RGB — round-trip-pinned
+  against :func:`encode_jpeg`. Progressive (SOF2) / 12-bit / arithmetic
+  coding → :class:`UnsupportedMedia`.
+* **GIF: header-real, pixels stubbed** — LZW decode genuinely needs a
+  codec library; dimensions parse from the logical screen descriptor and
+  :class:`UnsupportedMedia` guards the pixel path.
 * **Video: stubbed** (frame hashes via posexplode; a real decoder would
   seek those timestamps).
 
@@ -182,14 +187,15 @@ def decode_media(media: DataFrame, sniff_headers: bool = True) -> DataFrame:
 # ------------------------------------------------------ real pixel codecs
 #
 # Pure-stdlib codecs (zlib + struct are always present) so the pixel path
-# is REAL for PNG and WAV — no PIL/ffmpeg needed. JPEG/GIF/video remain
-# header-sniff only (their entropy coders genuinely need a codec library;
-# the honest NotImplementedError guard stays for those).
+# is REAL for PNG, baseline JPEG, and WAV — no PIL/ffmpeg needed.
+# GIF/video remain header-sniff only (LZW / video coding genuinely need a
+# codec library; the honest NotImplementedError guard stays for those).
 
 
 class UnsupportedMedia(NotImplementedError):
     """Raised when bytes need a codec this container doesn't ship
-    (JPEG/GIF entropy decode, video, interlaced or 16-bit PNG)."""
+    (GIF LZW decode, video, progressive/12-bit JPEG, interlaced or
+    16-bit PNG)."""
 
 
 def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -327,6 +333,460 @@ def encode_png(
     )
 
 
+# ---------------------------------------------------------------- JPEG
+#
+# Baseline sequential JPEG (ITU-T T.81 SOF0), pure stdlib + numpy:
+# marker walk → Huffman-decode DC/AC coefficients → dequantize → float64
+# IDCT (separable 8×8 basis matmul) → chroma upsample → YCbCr→RGB.
+# Supported: 8-bit precision, grayscale and 3-component YCbCr, 4:4:4 and
+# 4:2:0 sampling, restart intervals. Progressive (SOF2), 12-bit,
+# arithmetic coding → UnsupportedMedia. The entropy loop is per-block
+# Python (fine for the thumbnail-scale fixtures tests decode; a
+# production path would batch via a codec library).
+
+# zigzag scan position k → natural (row-major v*8+u) index
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_dct_matrix():
+    """M[u, x] = c(u)/2 · cos((2x+1)uπ/16); forward DCT = M·f·Mᵀ,
+    inverse = Mᵀ·F·M (T.81 A.3.3)."""
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; restart markers are consumed via :meth:`restart`."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                self.pos += 1
+                if nxt != 0x00:
+                    raise UnsupportedMedia("marker inside entropy data")
+            self.buf = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker (T.81 E.2.4)."""
+        self.nbits = 0
+        if (
+            self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise UnsupportedMedia("missing restart marker")
+        self.pos += 2
+
+
+def _jpeg_build_huff(bits: list[int], vals: list[int]) -> dict:
+    """Canonical JPEG Huffman assignment (T.81 C.2): (length, code) → symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_decode_symbol(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise UnsupportedMedia("invalid huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the s received bits to a signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Baseline JPEG decode (stdlib + numpy): returns (width, height,
+    channels, row-major interleaved pixel bytes) — grayscale stays 1
+    channel, YCbCr converts to RGB. Round-trip-pinned against
+    :func:`encode_jpeg`."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise UnsupportedMedia("not a JPEG")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    w = h = None
+    comps: list[dict] = []
+    ri = 0
+    sel: dict[int, tuple[int, int]] = {}
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise UnsupportedMedia("bad marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any scan
+            break
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq != 0:
+                    raise UnsupportedMedia("16-bit quantization table")
+                qt[tq] = list(seg[i : i + 64])
+                i += 64
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both Huffman seq.)
+            if seg[0] != 8:
+                raise UnsupportedMedia(f"precision {seg[0]}")
+            h, w = struct.unpack(">HH", seg[1:5])
+            comps = []
+            for ci in range(seg[5]):
+                cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq}
+                )
+            if len(comps) not in (1, 3):
+                raise UnsupportedMedia(f"{len(comps)} components")
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise UnsupportedMedia("non-baseline JPEG (progressive/lossless)")
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                i += 1
+                bits = list(seg[i : i + 16])
+                i += 16
+                nv = sum(bits)
+                vals = list(seg[i : i + nv])
+                i += nv
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_build_huff(
+                    bits, vals
+                )
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS → entropy-coded data follows
+            for si in range(seg[0]):
+                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                sel[cs] = (tt >> 4, tt & 15)
+            pos += seglen
+            break
+        pos += seglen
+    if w is None or not sel:
+        raise UnsupportedMedia("missing SOF/SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    ok_sampling = all(c["h"] == c["v"] == 1 for c in comps) or (
+        len(comps) == 3
+        and (comps[0]["h"], comps[0]["v"]) == (2, 2)
+        and all(c["h"] == c["v"] == 1 for c in comps[1:])
+    )
+    if not ok_sampling:
+        raise UnsupportedMedia("unsupported sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]))
+        for c in comps
+    }
+    m = _jpeg_dct_matrix()
+    reader = _JpegBitReader(payload, pos)
+    pred = {c["id"]: 0 for c in comps}
+    nmcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and nmcu and nmcu % ri == 0:
+                reader.restart()
+                pred = {c["id"]: 0 for c in comps}
+            nmcu += 1
+            for c in comps:
+                dc_t = huff_dc[sel[c["id"]][0]]
+                ac_t = huff_ac[sel[c["id"]][1]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = np.zeros(64)
+                        s = _jpeg_decode_symbol(reader, dc_t)
+                        pred[c["id"]] += _jpeg_extend(reader.receive(s), s)
+                        coeffs[0] = pred[c["id"]] * q[0]
+                        k = 0
+                        while k < 63:
+                            rs = _jpeg_decode_symbol(reader, ac_t)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r != 15:
+                                    break  # EOB
+                                k += 16  # ZRL
+                                continue
+                            k += r + 1
+                            if k > 63:
+                                raise UnsupportedMedia("coeff overrun")
+                            coeffs[_JPEG_ZIGZAG[k]] = (
+                                _jpeg_extend(reader.receive(s), s) * q[k]
+                            )
+                        block = m.T @ coeffs.reshape(8, 8) @ m + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+
+    out_planes = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    if len(comps) == 1:
+        gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, gray.tobytes()
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.rint(ch), 0, 255) for ch in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+    return w, h, 3, rgb.tobytes()
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing; flush pads with 1s."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+        return bytes(self.buf)
+
+
+def _jpeg_flat_tables() -> tuple[dict, dict, bytes]:
+    """Encoder Huffman tables: every DC category at code length 4 (12
+    symbols ≤ 15 usable codes) and every AC (run,size) symbol at length 8
+    (162 ≤ 255) — spec-valid canonical tables that need no frequency pass;
+    the decoder reads whatever DHT declares, so compression optimality is
+    irrelevant for a round-trip fixture codec. Returns (dc_map, ac_map,
+    DHT payload for tables DC#0 + AC#0)."""
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_syms = sorted(set(ac_syms))
+    dc_map = {sym: (i, 4) for i, sym in enumerate(dc_syms)}
+    ac_map = {sym: (i, 8) for i, sym in enumerate(ac_syms)}
+    dc_bits = [0] * 16
+    dc_bits[3] = len(dc_syms)
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_syms)
+    payload = (
+        bytes([0x00]) + bytes(dc_bits) + bytes(dc_syms)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms)
+    )
+    return dc_map, ac_map, payload
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    quant: int | list[int] = 1,
+    subsample: bool = False,
+) -> bytes:
+    """Minimal baseline JPEG encoder — the round-trip twin of
+    :func:`decode_jpeg_pixels` and the fixture builder for tests.
+    Grayscale (channels=1) or RGB→YCbCr (channels=3); ``subsample``
+    emits 4:2:0 (box-averaged chroma) so the decoder's upsampling path is
+    exercised; ``quant`` is a uniform scalar or a 64-entry zigzag-order
+    table (1 = near-lossless: only DCT float rounding)."""
+    import struct
+
+    import numpy as np
+
+    q = (
+        [int(quant)] * 64 if isinstance(quant, int) else list(quant)
+    )
+    m = _jpeg_dct_matrix()
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, channels
+    ).astype(np.float64)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        yy = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [yy, cb, cr]
+        samps = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    elif channels == 1:
+        planes = [arr[..., 0]]
+        samps = [(1, 1)]
+        subsample = False
+    else:
+        raise ValueError("encode_jpeg: channels must be 1 or 3")
+    if subsample:
+        # box-average 2×2 → one chroma sample (pad odd dims by edge repeat)
+        def box(p):
+            pp = np.pad(
+                p,
+                ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                mode="edge",
+            )
+            return (
+                pp[0::2, 0::2] + pp[1::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 1::2]
+            ) / 4.0
+
+        planes = [planes[0], box(planes[1]), box(planes[2])]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    dc_map, ac_map, dht_payload = _jpeg_flat_tables()
+    out = _JpegBitWriter()
+    pred = [0] * len(planes)
+
+    def pad_plane(p, bw, bh):
+        return np.pad(
+            p, ((0, bh - p.shape[0]), (0, bw - p.shape[1])), mode="edge"
+        )
+
+    padded = [
+        pad_plane(p, mcux * 8 * sh, mcuy * 8 * sv)
+        for p, (sh, sv) in zip(planes, samps)
+    ]
+
+    def emit_block(ci, block):
+        coeffs = m @ (block - 128.0) @ m.T
+        zz = [
+            int(np.rint(coeffs.flat[_JPEG_ZIGZAG[k]] / q[k]))
+            for k in range(64)
+        ]
+        diff = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        s = int(abs(diff)).bit_length()
+        code, ln = dc_map[s]
+        out.write(code, ln)
+        if s:
+            out.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_map[0xF0]
+                out.write(code, ln)
+                run -= 16
+            s = int(abs(v)).bit_length()
+            code, ln = ac_map[(run << 4) | s]
+            out.write(code, ln)
+            out.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            code, ln = ac_map[0x00]
+            out.write(code, ln)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samps)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        emit_block(ci, p[y0 : y0 + 8, x0 : x0 + 8])
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zz_q = bytes(q[k] for k in range(64))
+    sof_comps = b"".join(
+        bytes([ci + 1, (sh << 4) | sv, 0])
+        for ci, (sh, sv) in enumerate(samps)
+    )
+    sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(len(planes)))
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + zz_q)
+        + seg(
+            0xC0,
+            bytes([8])
+            + struct.pack(">HH", height, width)
+            + bytes([len(planes)])
+            + sof_comps,
+        )
+        + seg(0xC4, dht_payload)
+        + seg(0xDA, bytes([len(planes)]) + sos_comps + b"\x00\x3f\x00")
+        + out.flush()
+        + b"\xff\xd9"
+    )
+
+
+def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Dispatch by magic to the real pixel codecs (PNG, baseline JPEG);
+    anything else → UnsupportedMedia (GIF's LZW and video remain honestly
+    out of scope for this container)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_pixels(payload)
+    raise UnsupportedMedia("no pixel codec for this container")
+
+
 def decode_wav_samples(payload: bytes) -> tuple[int, int, list[int]]:
     """PCM WAV decode (stdlib struct): returns (n_channels, sample_rate,
     interleaved 16-bit samples). Non-PCM or non-16-bit → UnsupportedMedia."""
@@ -390,7 +850,7 @@ def image_pixel_features(media: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["media_ref"], pdf["payload"]
             ):
                 try:
-                    w, h, c, px = decode_png_pixels(bytes(payload))
+                    w, h, c, px = decode_image_pixels(bytes(payload))
                 except (UnsupportedMedia, zlib.error, struct.error, ValueError, IndexError):
                     continue
                 img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
@@ -445,7 +905,7 @@ def image_pixel_stats_exact(media: DataFrame) -> DataFrame:
             rows = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    w, h, c, px = decode_png_pixels(bytes(payload))
+                    w, h, c, px = decode_image_pixels(bytes(payload))
                 except (UnsupportedMedia, zlib.error, struct.error, ValueError, IndexError):
                     continue
                 n = w * h * c

@@ -271,3 +271,147 @@ def test_corrupt_png_dropped_not_swallowed(spark):
     # a failure class outside the codec contract must surface, not vanish
     with pytest.raises(TypeError):
         MM.decode_png_pixels(None)
+
+
+def test_jpeg_roundtrip_flat_blocks_exact():
+    """A flat-color image has only DC energy: with an all-ones quant table
+    the codec round-trips it EXACTLY (DCT of a constant block quantizes
+    without loss) — grayscale and RGB."""
+    from goprowl_spark.operators import multimodal as MM
+
+    for w, h, c, val in ((16, 8, 1, 77), (8, 16, 3, 200)):
+        px = bytes([val] * (w * h * c))
+        blob = MM.encode_jpeg(w, h, c, px, quant=1)
+        gw, gh, gc, gpx = MM.decode_jpeg_pixels(blob)
+        assert (gw, gh, gc) == (w, h, c)
+        assert gpx == px
+
+
+def test_jpeg_roundtrip_near_lossless():
+    """quant=1 keeps only DCT coefficient rounding plus the YCbCr
+    round-trip: every pixel of a busy image must round-trip within ±2,
+    with mean error well under half a level (measured: max 2, mean 0.26)."""
+    import numpy as np
+
+    from goprowl_spark.operators import multimodal as MM
+
+    px = _checker_pixels(17, 11, 3)  # non-multiple-of-8 dims
+    blob = MM.encode_jpeg(17, 11, 3, px, quant=1)
+    w, h, c, got = MM.decode_jpeg_pixels(blob)
+    assert (w, h, c) == (17, 11, 3)
+    a = np.frombuffer(px, dtype=np.uint8).astype(int)
+    b = np.frombuffer(got, dtype=np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 2
+    assert np.abs(a - b).mean() < 0.5
+
+
+def test_jpeg_quantized_and_grayscale():
+    """A real quant table loses detail but the decode must stay close for
+    smooth content, and grayscale single-component scans decode."""
+    import numpy as np
+
+    from goprowl_spark.operators import multimodal as MM
+
+    w, h = 24, 16
+    px = bytes(((x * 3 + y * 2) % 200 + 20) for y in range(h) for x in range(w))
+    blob = MM.encode_jpeg(w, h, 1, px, quant=8)
+    gw, gh, gc, got = MM.decode_jpeg_pixels(blob)
+    assert (gw, gh, gc) == (w, h, 1)
+    a = np.frombuffer(px, dtype=np.uint8).astype(int)
+    b = np.frombuffer(got, dtype=np.uint8).astype(int)
+    assert np.abs(a - b).mean() < 8.0
+
+
+def test_jpeg_420_subsampling_decodes():
+    """4:2:0 exercises the multi-block MCU + chroma upsample path: luma
+    must stay within DCT rounding of the source's luma; chroma is box-
+    averaged so only smooth-chroma content is compared exactly-ish."""
+    import numpy as np
+
+    from goprowl_spark.operators import multimodal as MM
+
+    w, h = 20, 12
+    # smooth chroma (constant Cb/Cr), varying luma
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = (x * 7 + y * 11) % 256
+            px += bytes((v, v, v))  # gray → Cb=Cr=128 exactly
+    blob = MM.encode_jpeg(w, h, 3, bytes(px), quant=1, subsample=True)
+    gw, gh, gc, got = MM.decode_jpeg_pixels(blob)
+    assert (gw, gh, gc) == (w, h, 3)
+    a = np.frombuffer(bytes(px), dtype=np.uint8).astype(int)
+    b = np.frombuffer(got, dtype=np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 2
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn path: splice a restart interval into an encoded stream by
+    re-encoding MCU-by-MCU is overkill — instead decode a stream our
+    encoder produced, then assert the reader rejects corrupted restart
+    sequences distinctly (UnsupportedMedia, not garbage pixels)."""
+    import pytest
+
+    from goprowl_spark.operators import multimodal as MM
+
+    px = bytes([90] * (8 * 8 * 3))
+    blob = MM.encode_jpeg(8, 8, 3, px, quant=1)
+    # inject a bogus DRI header with no actual RST markers in the scan:
+    # decoder must fail loudly, not mis-decode
+    import struct
+
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 1)
+    sos_at = blob.index(b"\xff\xda")
+    # DRI must precede SOS; with interval=1 the decoder expects RST after
+    # every MCU — 8x8 image has 1 MCU (no restart fires) → still decodes
+    ok = blob[:sos_at] + dri + blob[sos_at:]
+    w, h, c, got = MM.decode_jpeg_pixels(ok)
+    assert got == px
+    # 16x8 = 2 MCUs with interval 1 → a restart IS expected mid-scan and
+    # is absent → loud failure
+    px2 = bytes([90] * (16 * 8 * 3))
+    blob2 = MM.encode_jpeg(16, 8, 3, px2, quant=1)
+    sos_at2 = blob2.index(b"\xff\xda")
+    bad = blob2[:sos_at2] + dri + blob2[sos_at2:]
+    with pytest.raises(MM.UnsupportedMedia):
+        MM.decode_jpeg_pixels(bad)
+
+
+def test_jpeg_unsupported_variants_guarded():
+    import pytest
+
+    from goprowl_spark.operators import multimodal as MM
+
+    px = bytes([10] * (8 * 8 * 3))
+    blob = bytearray(MM.encode_jpeg(8, 8, 3, px, quant=1))
+    # flip SOF0 marker to SOF2 (progressive)
+    at = bytes(blob).index(b"\xff\xc0")
+    blob[at + 1] = 0xC2
+    with pytest.raises(MM.UnsupportedMedia):
+        MM.decode_jpeg_pixels(bytes(blob))
+    with pytest.raises(MM.UnsupportedMedia):
+        MM.decode_jpeg_pixels(b"GIF89a" + b"\x00" * 20)
+
+
+def test_image_features_decode_jpeg_payloads(spark):
+    """The pixel-feature operator now dispatches by magic: JPEG payloads
+    produce real rows (exact for a flat image) alongside PNGs."""
+    import numpy as np
+
+    from goprowl_spark.operators import multimodal as MM
+
+    flat = bytes([120] * (16 * 8 * 3))
+    jpg = MM.encode_jpeg(16, 8, 3, flat, quant=1)
+    png = MM.encode_png(8, 6, 3, _checker_pixels(8, 6, 3), filter_type=1)
+    media = spark.createDataFrame(
+        [
+            ("j1", "a.jpg", "image", bytearray(jpg)),
+            ("p1", "b.png", "image", bytearray(png)),
+            ("g1", "c.gif", "image", bytearray(b"GIF89a" + b"\x00" * 10)),
+        ],
+        "doc_id string, media_ref string, media_type string, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in MM.image_pixel_features(media).collect()}
+    assert set(rows) == {"j1", "p1"}  # GIF dropped, both codecs ran
+    assert rows["j1"]["width"] == 16 and rows["j1"]["n_channels"] == 3
+    assert rows["j1"]["mean_px"] == 120.0 and rows["j1"]["std_px"] == 0.0
