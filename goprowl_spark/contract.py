@@ -110,6 +110,38 @@ def q_crawl_budget_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_delay_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay-derived politeness (colly LimitRule analog,
+    colly.go:201-207): h0.test (the hot host, 30% of URLs) declares
+    ``Crawl-delay: 10`` and the engine derives a 3-fetches/round budget
+    from ``round_seconds=30`` (floor(30/10)); other hosts run unbudgeted.
+    Oracle: the same unrolled round-for-round CTE replay as
+    crawl_budget_seen, with the per-host CASE budget."""
+    from goprowl_spark.politeness import parse_robots_txt
+
+    n = _docs(spark, sf_dir).count() * CORPUS_MULT
+    robots_df = parse_robots_txt(
+        spark.createDataFrame(
+            [("h0.test", "User-agent: *\nCrawl-delay: 10\n")],
+            ["host", "body"],
+        )
+    )
+    eng = CrawlEngine(
+        spark,
+        None,
+        tempfile.mkdtemp(prefix="goprowl_crawl_"),
+        CrawlConfig(seeds=[corpus.url(0)], max_depth=4, round_seconds=30.0),
+        fetcher=corpus.make_fetcher(n),
+        robots_rules=robots_df,
+    )
+    eng.run(max_rounds=12)
+    return (
+        eng.seen()
+        .select("url", F.col("depth").cast("int").alias("depth"))
+        .orderBy("url")
+    )
+
+
 # ---------------------------------------------------------------- search
 
 SEARCH_QUERIES = {
@@ -1408,6 +1440,16 @@ ORACLES: dict[str, str | None] = {
         budget=5,
         rounds=12,
     ),
+    # Crawl-delay 10 s at round_seconds=30 → derived budget 3 for host 0;
+    # everyone else effectively unbudgeted (2^31)
+    "crawl_delay_seen": corpus.budget_bfs_oracle_sql(
+        f"(SELECT count(*)*{CORPUS_MULT} FROM documents)",
+        seed=0,
+        max_depth=4,
+        budget=1 << 31,
+        rounds=12,
+        host_budgets={0: 3},
+    ),
     **{name: _search_oracle(q) for name, q in SEARCH_QUERIES.items()},
     "search_boosted": f"""
 WITH scored AS (
@@ -1580,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs.update({
         "crawl_bfs_seen": q_crawl_bfs_seen,
         "crawl_budget_seen": q_crawl_budget_seen,
+        "crawl_delay_seen": q_crawl_delay_seen,
         "search_boosted": q_search_boosted,
         "metadata_filter": q_metadata_filter,
         "permission_filter": q_permission_filter,

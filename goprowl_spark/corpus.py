@@ -467,6 +467,7 @@ def budget_bfs_oracle_sql(
     max_depth: int = 4,
     budget: int = 5,
     rounds: int = 12,
+    host_budgets: dict[int, int] | None = None,
 ) -> str:
     """DuckDB SQL replaying a politeness-BUDGETED crawl round-for-round.
 
@@ -479,8 +480,18 @@ def budget_bfs_oracle_sql(
     politeness.pop_batch semantics exactly: non-200 pages are popped but
     not expanded; candidates take min-depth within a round; dedup is
     against the cumulative seen set; depth cap applies at enqueue time.
+
+    ``host_budgets`` overrides the uniform ``budget`` per host id (the
+    shape :func:`politeness.budget_from_crawl_delay` produces — hosts
+    with a robots Crawl-delay get a derived cap, others fall back to
+    ``budget``).
     """
     host_id_sql = "(CASE WHEN i % 10 < 3 THEN 0 ELSE 1 + (i % 9) END)"
+    if host_budgets:
+        whens = " ".join(
+            f"WHEN {hid} THEN {b}" for hid, b in sorted(host_budgets.items())
+        )
+        budget = f"(CASE {host_id_sql} {whens} ELSE {budget} END)"
     blocks = [
         f"WITH params AS (SELECT {n_expr} AS n)",
         f"r0_seen(i, depth) AS (SELECT CAST({seed} AS BIGINT), 0)",
