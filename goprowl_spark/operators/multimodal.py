@@ -17,11 +17,12 @@ How real each codec is (all stdlib — no PIL/ffmpeg in this container):
   dequantizes, runs the 8×8 IDCT and converts to RGB — round-trip-pinned
   against :func:`encode_jpeg`. Progressive (SOF2) / 12-bit / arithmetic
   coding → :class:`UnsupportedMedia`.
-* **GIF: header-real, pixels stubbed** — LZW decode genuinely needs a
-  codec library; dimensions parse from the logical screen descriptor and
-  :class:`UnsupportedMedia` guards the pixel path.
+* **GIF: fully real (first frame).** :func:`decode_gif_pixels` LZW-
+  decompresses (variable code width, clear/EOI, 12-bit dictionary),
+  expands palette rows and de-interlaces — round-trip-pinned against
+  :func:`encode_gif` (a real LZW encoder).
 * **Video: stubbed** (frame hashes via posexplode; a real decoder would
-  seek those timestamps).
+  seek those timestamps) — the only remaining stubbed pixel path.
 
 For fully synthetic corpora (payload = hash bytes), :func:`decode_media`
 falls back to a clearly-marked deterministic fake so pipelines exercise
@@ -187,15 +188,14 @@ def decode_media(media: DataFrame, sniff_headers: bool = True) -> DataFrame:
 # ------------------------------------------------------ real pixel codecs
 #
 # Pure-stdlib codecs (zlib + struct are always present) so the pixel path
-# is REAL for PNG, baseline JPEG, and WAV — no PIL/ffmpeg needed.
-# GIF/video remain header-sniff only (LZW / video coding genuinely need a
-# codec library; the honest NotImplementedError guard stays for those).
+# is REAL for PNG, baseline JPEG, GIF, and WAV — no PIL/ffmpeg needed.
+# Video remains header-sniff only (the honest NotImplementedError guard
+# stays for it).
 
 
 class UnsupportedMedia(NotImplementedError):
     """Raised when bytes need a codec this container doesn't ship
-    (GIF LZW decode, video, progressive/12-bit JPEG, interlaced or
-    16-bit PNG)."""
+    (video, progressive/12-bit JPEG, interlaced or 16-bit PNG)."""
 
 
 def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -776,14 +776,235 @@ def encode_jpeg(
     )
 
 
+# ----------------------------------------------------------------- GIF
+#
+# GIF87a/89a first-frame decode, pure stdlib: logical screen + color
+# tables → LZW decompress (variable code width, clear/EOI) → palette
+# expansion → optional de-interlace. Animation frames past the first are
+# ignored (first-frame features are what the pipeline extracts);
+# transparency is treated as opaque palette color.
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytearray:
+    """GIF-variant LZW (T.82 app. / GIF89a §22): codes grow from
+    min_code_size+1 up to 12 bits, CLEAR resets the dictionary, EOI ends."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # dictionary as list of bytes; indexes 0..clear-1 are roots
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise UnsupportedMedia("corrupt LZW stream")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out
+    return out
+
+
+def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """First-frame GIF decode (stdlib only): LZW inflate → palette rows →
+    RGB bytes; handles local color tables and interlaced frames.
+    Round-trip-pinned against :func:`encode_gif`."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise UnsupportedMedia("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise UnsupportedMedia(f"unknown GIF block 0x{b0:02x}")
+        left, top, w, h, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if not pal:
+            raise UnsupportedMedia("no color table")
+        min_code = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(min_code, bytes(lzw), w * h)
+        if len(idx) < w * h:
+            raise UnsupportedMedia("truncated LZW data")
+        if iflags & 0x40:  # interlaced: 4-pass row order
+            rows = [idx[y * w : (y + 1) * w] for y in range(h)]
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            deint: list[bytes | None] = [None] * h
+            for src_row, dst_y in enumerate(order):
+                deint[dst_y] = rows[src_row]
+            idx = bytearray(b"".join(r for r in deint if r is not None))
+        rgb = bytearray()
+        npal = len(pal) // 3
+        for i in idx[: w * h]:
+            if i >= npal:
+                raise UnsupportedMedia("palette index out of range")
+            rgb += pal[i * 3 : i * 3 + 3]
+        return w, h, 3, bytes(rgb)
+    raise UnsupportedMedia("no image descriptor")
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    palette: bytes,
+    indexes: bytes,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal GIF89a encoder (real LZW) — the round-trip twin of
+    :func:`decode_gif_pixels` and the fixture builder for tests.
+    ``palette``: packed RGB triples (length a power-of-two × 3, ≥ 2
+    entries); ``indexes``: one palette index per pixel, row-major."""
+    import struct
+
+    npal = len(palette) // 3
+    depth = max(1, (npal - 1).bit_length())
+    if npal != (1 << depth):
+        raise ValueError("palette size must be a power of two")
+    min_code = max(2, depth)
+    clear = 1 << min_code
+    eoi = clear + 1
+
+    if interlace:
+        order = (
+            list(range(0, height, 8))
+            + list(range(4, height, 8))
+            + list(range(2, height, 4))
+            + list(range(1, height, 2))
+        )
+        indexes = b"".join(
+            indexes[y * width : (y + 1) * width] for y in order
+        )
+
+    # LZW encode
+    out_codes: list[tuple[int, int]] = []  # (code, width)
+    width_bits = min_code + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = eoi + 1
+    out_codes.append((clear, width_bits))
+    s = b""
+    for byte in indexes:
+        s2 = s + bytes([byte])
+        if s2 in table:
+            s = s2
+            continue
+        out_codes.append((table[s], width_bits))
+        if next_code < 4096:
+            table[s2] = next_code
+            # Width alignment: the decoder's first post-clear read sets
+            # prev without appending, so its table LAGS our next_code by
+            # one — it bumps at the end of its j-th read when its length
+            # (our pre-increment next_code) reaches 2^width. Bump here,
+            # before incrementing, to stay code-for-code aligned.
+            if next_code == (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+            next_code += 1
+        else:
+            out_codes.append((clear, width_bits))
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code = eoi + 1
+            width_bits = min_code + 1
+        s = bytes([byte])
+    if s:
+        out_codes.append((table[s], width_bits))
+    out_codes.append((eoi, width_bits))
+
+    acc = 0
+    nbits = 0
+    lzw = bytearray()
+    for code, wbits in out_codes:
+        acc |= code << nbits
+        nbits += wbits
+        while nbits >= 8:
+            lzw.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        lzw.append(acc & 0xFF)
+
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+
+    iflags = 0x40 if interlace else 0x00
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+        + palette
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, width, height, iflags)
+        + bytes([min_code])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
 def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Dispatch by magic to the real pixel codecs (PNG, baseline JPEG);
-    anything else → UnsupportedMedia (GIF's LZW and video remain honestly
-    out of scope for this container)."""
+    """Dispatch by magic to the real pixel codecs (PNG, baseline JPEG,
+    GIF first frame); anything else → UnsupportedMedia (video remains
+    honestly out of scope for this container)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(payload)
     raise UnsupportedMedia("no pixel codec for this container")
 
 

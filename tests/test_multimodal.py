@@ -415,3 +415,77 @@ def test_image_features_decode_jpeg_payloads(spark):
     assert set(rows) == {"j1", "p1"}  # GIF dropped, both codecs ran
     assert rows["j1"]["width"] == 16 and rows["j1"]["n_channels"] == 3
     assert rows["j1"]["mean_px"] == 120.0 and rows["j1"]["std_px"] == 0.0
+
+
+def test_gif_roundtrip_lzw():
+    """GIF encode→decode is exact (palette images are lossless): plain,
+    interlaced, 2-color (min code size floor), and an image big enough to
+    force the 4096-entry LZW dictionary reset."""
+    import random
+
+    from goprowl_spark.operators import multimodal as MM
+
+    rng = random.Random(7)
+    pal = bytes(
+        v for i in range(16) for v in (i * 16, 255 - i * 16, (i * 37) % 256)
+    )
+    idx = bytes(rng.randrange(16) for _ in range(64 * 48))
+    want = b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
+    assert MM.decode_gif_pixels(MM.encode_gif(64, 48, pal, idx)) == (
+        64, 48, 3, want,
+    )
+    # interlaced: same pixels, 4-pass row order on the wire
+    assert MM.decode_gif_pixels(
+        MM.encode_gif(64, 48, pal, idx, interlace=True)
+    ) == (64, 48, 3, want)
+    # 200x150 random 16-color ≈ 12k+ LZW entries → crosses 4096 reset
+    idx2 = bytes(rng.randrange(16) for _ in range(200 * 150))
+    got = MM.decode_gif_pixels(MM.encode_gif(200, 150, pal, idx2))
+    assert got[3] == b"".join(pal[i * 3 : i * 3 + 3] for i in idx2)
+    # 2-color palette exercises the min-code-size floor of 2
+    pal2 = bytes((0, 0, 0, 255, 255, 255))
+    idxb = bytes((x ^ y) & 1 for y in range(10) for x in range(9))
+    assert MM.decode_gif_pixels(MM.encode_gif(9, 10, pal2, idxb))[3] == b"".join(
+        pal2[i * 3 : i * 3 + 3] for i in idxb
+    )
+
+
+def test_gif_guards_and_dispatch(spark):
+    import pytest
+
+    from goprowl_spark.operators import multimodal as MM
+
+    with pytest.raises(MM.UnsupportedMedia):
+        MM.decode_gif_pixels(b"GIF89a" + b"\x00" * 7 + b"\x3b")  # no frame
+    with pytest.raises(MM.UnsupportedMedia):
+        # well-formed container, but the LZW stream is just CLEAR+EOI:
+        # the descriptor promises 64 pixels that never arrive
+        import struct
+
+        empty = (
+            b"GIF89a"
+            + struct.pack("<HHBBB", 8, 8, 0x80, 0, 0)
+            + bytes(6)  # 2-entry global color table
+            + b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, 8, 8, 0)
+            + bytes([2])  # min code size
+            + b"\x01\x2c\x00"  # one LZW byte: CLEAR(4) then EOI(5) @ 3 bits
+            + b"\x3b"
+        )
+        MM.decode_gif_pixels(empty)
+    # the feature operator now yields real rows for GIF payloads
+    pal = bytes(v for i in range(4) for v in (i * 80, i * 80, i * 80))
+    idx = bytes((x + y) % 4 for y in range(8) for x in range(8))
+    gif = MM.encode_gif(8, 8, pal, idx)
+    media = spark.createDataFrame(
+        [("g1", "a.gif", "image", bytearray(gif))],
+        "doc_id string, media_ref string, media_type string, payload binary",
+    )
+    rows = MM.image_pixel_features(media).collect()
+    assert len(rows) == 1 and rows[0]["width"] == 8
+    import numpy as np
+
+    want = np.array(
+        [pal[i * 3] for i in idx], dtype=np.uint8
+    )  # grayscale palette → every channel equal
+    assert rows[0]["mean_px"] == float(want.mean())
