@@ -433,6 +433,7 @@ class CrawlEngine:
             ).collect()[0]
             n_cand = int(stats["n_cand"])
             n_maybe = int(stats["n_maybe"])
+            mark("dedup_cogroup_stats")
             probed = fused.where(F.col("filter_blob").isNull())
             cand_cols = ["url", "url_hash", "host", "depth"]
             fresh = probed.where(~F.col("maybe_seen")).select(*cand_cols)
@@ -453,9 +454,15 @@ class CrawlEngine:
                 # equality re-check keeps 64-bit hash collisions harmless
                 # (exactness cannot ride on url_hash alone: at 10^10 URLs
                 # the birthday bound expects a few 64-bit collisions).
-                mb = maybe.select("url_hash", "url")
+                # broadcast only the 8-byte hashes (5× smaller driver
+                # collect than (hash, url) rows); the inner join may admit
+                # hash-collision extras — seen urls that share a hash with
+                # a maybe url — but the anti-join below re-checks
+                # (url_hash, url), so a maybe row is removed iff that
+                # exact row is in seen. Still exactly maybe ∖ seen.
+                mb_h = maybe.select("url_hash")
                 confirmed = seen.select("url_hash", "url").join(
-                    F.broadcast(mb), on=["url_hash", "url"], how="inner"
+                    F.broadcast(mb_h), on="url_hash", how="inner"
                 )
                 unseen = fresh.unionByName(
                     maybe.join(
