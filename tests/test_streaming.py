@@ -167,3 +167,44 @@ def test_windowed_counts_append_mode_checkpoint_restart(spark, tmp_path):
     for (ws, et) in batch:
         if _dt.datetime.strptime(ws, "%Y-%m-%d %H:%M:%S") < wm_cutoff - _dt.timedelta(minutes=5):
             assert (ws, et) in emitted, f"finalized window ({ws},{et}) never emitted"
+
+
+def test_windowed_counts_sink_edge_cases(spark, tmp_path):
+    """The sink contract's edge cases: a sink without a checkpoint raises
+    immediately (an append parquet sink is only exactly-once through its
+    checkpoint), and a first run whose events all sit inside the watermark
+    horizon finalizes ZERO windows — the sink has no data files and the
+    explicit-schema read must return an empty frame, not an inference
+    error."""
+    import pytest
+
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        streaming.windowed_event_counts(
+            spark, f"{SF_DIR}/events.parquet", sink_dir=str(tmp_path / "s0")
+        )
+
+    # one tight burst of events << watermark horizon → nothing finalizes
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lo = src.agg(
+        F.min(F.col("ts").cast("timestamp").cast("long"))
+    ).collect()[0][0]
+    events_dir = str(tmp_path / "events")
+    src.where(
+        F.col("ts").cast("timestamp").cast("long") < lo + 60
+    ).write.parquet(events_dir)
+    got = streaming.windowed_event_counts(
+        spark,
+        events_dir,
+        watermark="10 minutes",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sink_dir=str(tmp_path / "sink"),
+    )
+    assert got.count() == 0
+    assert got.columns == [
+        "window_start", "event_type", "n_events", "sum_value",
+    ]
+
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        streaming.sessionize_stream(
+            spark, f"{SF_DIR}/events.parquet", sink_dir=str(tmp_path / "s1")
+        )
