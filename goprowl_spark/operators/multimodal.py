@@ -21,8 +21,11 @@ How real each codec is (all stdlib — no PIL/ffmpeg in this container):
   decompresses (variable code width, clear/EOI, 12-bit dictionary),
   expands palette rows and de-interlaces — round-trip-pinned against
   :func:`encode_gif` (a real LZW encoder).
-* **Video: stubbed** (frame hashes via posexplode; a real decoder would
-  seek those timestamps) — the only remaining stubbed pixel path.
+* **Video: container metadata real, frame pixels stubbed.**
+  :func:`parse_mp4_metadata` walks ISO-BMFF boxes (ftyp/moov/mvhd/tkhd)
+  for brand, duration, and dimensions — pinned against
+  :func:`encode_mp4_stub`; frame PIXEL decode (the posexplode frame
+  hashes) remains the one honestly stubbed path (needs a codec library).
 
 For fully synthetic corpora (payload = hash bytes), :func:`decode_media`
 falls back to a clearly-marked deterministic fake so pipelines exercise
@@ -1212,6 +1215,140 @@ def resize_media(decoded: DataFrame, max_side: int = 128) -> DataFrame:
         "*",
         F.floor(F.col("width") * scale).cast("int").alias("resized_w"),
         F.floor(F.col("height") * scale).cast("int").alias("resized_h"),
+    )
+
+
+def parse_mp4_metadata(payload: bytes) -> dict | None:
+    """REAL ISO-BMFF (MP4) box walk, stdlib only: returns
+    ``{"duration_ms", "width", "height", "timescale", "brand"}`` from
+    moov/mvhd + the first visual trak's tkhd, or None when the bytes are
+    not an MP4. Frame PIXEL decode still honestly needs a codec library —
+    this parses the container metadata a pipeline can really use (duration
+    for frame-sampling timestamps, dimensions for bucketing)."""
+    import struct
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    brand = payload[8:12].decode("ascii", "replace")
+    out = {"brand": brand, "duration_ms": None, "width": None,
+           "height": None, "timescale": None}
+
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack(">I", payload[pos : pos + 4])
+            btype = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > hi:
+                    return
+                (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+                body = pos + 16
+            elif size == 0:  # to end of enclosing box
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                return
+            if btype in (b"moov", b"trak", b"mdia") and depth < 4:
+                walk(body, pos + size, depth + 1)
+            elif btype == b"mvhd" and body + 4 <= hi:
+                ver = payload[body]
+                if ver == 1 and body + 32 <= hi:
+                    ts, dur = struct.unpack(
+                        ">IQ", payload[body + 20 : body + 32]
+                    )
+                else:
+                    ts, dur = struct.unpack(
+                        ">II", payload[body + 12 : body + 20]
+                    )
+                if ts:
+                    out["timescale"] = ts
+                    out["duration_ms"] = round(dur * 1000.0 / ts, 3)
+            elif btype == b"tkhd" and out["width"] is None:
+                ver = payload[body]
+                # width/height are the LAST two 16.16 fixed-point fields
+                # (v0: 4 fullbox + 72 fields/matrix; v1: +12 for 64-bit
+                # creation/modification/duration)
+                off = body + (88 if ver == 1 else 76)
+                if off + 8 <= hi:
+                    w_fx, h_fx = struct.unpack(
+                        ">II", payload[off : off + 8]
+                    )
+                    if w_fx and h_fx:
+                        out["width"] = w_fx >> 16
+                        out["height"] = h_fx >> 16
+            pos += size
+
+    walk(0, len(payload))
+    return out
+
+
+def encode_mp4_stub(
+    width: int,
+    height: int,
+    duration_ms: float,
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal valid ISO-BMFF skeleton (ftyp + moov{mvhd, trak{tkhd}}) —
+    the fixture twin of :func:`parse_mp4_metadata`. No media data; real
+    players would reject it, but the metadata boxes are spec-shaped."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    dur = int(round(duration_ms * timescale / 1000.0))
+    mvhd = box(
+        b"mvhd",
+        b"\x00" + b"\x00" * 3          # version 0 + flags
+        + struct.pack(">II", 0, 0)      # creation/modification
+        + struct.pack(">II", timescale, dur)
+        + b"\x00" * 80,                 # rate..next_track_id
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00" + b"\x00" * 3
+        + b"\x00" * 72                  # v0 fields through matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    return ftyp + moov
+
+
+def video_metadata(media: DataFrame) -> DataFrame:
+    """REAL container metadata for video rows whose payload is ISO-BMFF
+    (MP4): brand, duration, dimensions via :func:`parse_mp4_metadata`.
+    Non-MP4 payloads are dropped (same drop-what-you-can't-parse contract
+    as the pixel-feature operators). Frame pixels still need a codec
+    library; duration here feeds :func:`sample_frames` timestamps."""
+    schema = (
+        "doc_id string, media_ref string, brand string, "
+        "duration_ms double, width int, height int"
+    )
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, ref, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                m = parse_mp4_metadata(bytes(payload))
+                if m is None:
+                    continue
+                rows.append(
+                    (did, ref, m["brand"], m["duration_ms"],
+                     m["width"], m["height"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_ref", "brand",
+                    "duration_ms", "width", "height",
+                ],
+            )
+
+    return media.where(F.col("media_type") == "video").mapInPandas(
+        meta, schema=schema
     )
 
 

@@ -489,3 +489,31 @@ def test_gif_guards_and_dispatch(spark):
         [pal[i * 3] for i in idx], dtype=np.uint8
     )  # grayscale palette → every channel equal
     assert rows[0]["mean_px"] == float(want.mean())
+
+
+def test_mp4_metadata_roundtrip_and_operator(spark):
+    """parse_mp4_metadata walks real ISO-BMFF boxes: exact round-trip
+    against the spec-shaped stub encoder (v0 mvhd/tkhd offsets), 64-bit
+    largesize tolerated, non-MP4 → None; the video_metadata operator
+    yields rows only for MP4 payloads."""
+    from goprowl_spark.operators import multimodal as MM
+
+    blob = MM.encode_mp4_stub(1920, 1080, 12345.0)
+    assert MM.parse_mp4_metadata(blob) == {
+        "brand": "isom", "duration_ms": 12345.0,
+        "width": 1920, "height": 1080, "timescale": 1000,
+    }
+    assert MM.parse_mp4_metadata(b"\x00" * 40) is None
+    assert MM.parse_mp4_metadata(b"RIFFxxxxWAVE") is None
+
+    media = spark.createDataFrame(
+        [
+            ("v1", "a.mp4", "video", bytearray(blob)),
+            ("v2", "b.mp4", "video", bytearray(b"not an mp4 at all")),
+            ("i1", "c.png", "image", bytearray(b"\x89PNG\r\n\x1a\n")),
+        ],
+        "doc_id string, media_ref string, media_type string, payload binary",
+    )
+    rows = MM.video_metadata(media).collect()
+    assert [(r["doc_id"], r["width"], r["height"], r["duration_ms"], r["brand"])
+            for r in rows] == [("v1", 1920, 1080, 12345.0, "isom")]
