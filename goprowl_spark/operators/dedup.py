@@ -80,6 +80,18 @@ def shingle_postings(
     string (the dominant cost of the inverted-index self-joins at scale).
     The DuckDB oracles hash with the identical h60_sql expression, so both
     engines agree bit-for-bit even on (astronomically rare) collisions."""
+    # Shingling is the CPU-heavy map stage (interpreted higher-order
+    # functions + per-shingle md5); its parallelism is capped by the input
+    # split count. A small single-file table scans as ONE partition and
+    # serializes the whole stage onto one core (measured: the sf0.1
+    # jaccard headline spent ~6 s of 7.8 s here). Spread it to the
+    # session's parallelism when the scan is narrower than that; at real
+    # scale the input already has >= defaultParallelism splits and this is
+    # a no-op. Hash-partitioning on the doc id keeps the row→partition map
+    # deterministic; output values are unchanged either way.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
     arr = word_shingles(F.col(text_col), n)
     if hashed:
         arr = F.array_distinct(F.transform(arr, h60))
