@@ -82,16 +82,11 @@ def shingle_postings(
     engines agree bit-for-bit even on (astronomically rare) collisions."""
     # Shingling is the CPU-heavy map stage (interpreted higher-order
     # functions + per-shingle md5); its parallelism is capped by the input
-    # split count. A small single-file table scans as ONE partition and
-    # serializes the whole stage onto one core (measured: the sf0.1
-    # jaccard headline spent ~6 s of 7.8 s here). Spread it to the
-    # session's parallelism when the scan is narrower than that; at real
-    # scale the input already has >= defaultParallelism splits and this is
-    # a no-op. Hash-partitioning on the doc id keeps the row→partition map
-    # deterministic; output values are unchanged either way.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, F.col(id_col))
+    # split count — a small single-file table serializes the whole stage
+    # onto one core (measured: ~6 s of the 7.8 s sf0.1 jaccard headline).
+    from goprowl_spark.session import spread_narrow_scan
+
+    df = spread_narrow_scan(df, id_col)
     arr = word_shingles(F.col(text_col), n)
     if hashed:
         arr = F.array_distinct(F.transform(arr, h60))

@@ -40,9 +40,16 @@ def tokens_col(col):
 def build_postings(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "content"
 ) -> DataFrame:
-    """term → (doc, tf) postings (A3; IndexDocument indexer.go:30-57)."""
+    """term → (doc, tf) postings (A3; IndexDocument indexer.go:30-57).
+
+    The tokenize+explode map stage is spread to session parallelism when
+    the scan is narrower than that (single-file tables scan as one
+    partition; see session.spread_narrow_scan)."""
+    from goprowl_spark.session import spread_narrow_scan
+
     return (
-        documents.select(
+        spread_narrow_scan(documents, id_col)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.explode(tokens_col(F.col(text_col))).alias("term"),
         )

@@ -47,3 +47,19 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread_narrow_scan(df, key_col: str):
+    """Repartition a DataFrame whose scan has fewer splits than the
+    session's parallelism, so a CPU-heavy map stage downstream (explode,
+    per-row hashing, HOF shingling) is not serialized onto a handful of
+    cores. A small single-file parquet table scans as ONE partition; at
+    real scale inputs already carry >= defaultParallelism splits and this
+    is a no-op. Hash-partitioning on ``key_col`` keeps the row→partition
+    map deterministic; values are unaffected."""
+    from pyspark.sql import functions as F
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key_col))
+    return df
