@@ -47,6 +47,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the scan spread to session parallelism — for queries
+    whose first stage is CPU-heavy map work (tokenize+explode); the small
+    single-file test table otherwise scans as one partition and serializes
+    that stage onto one core."""
+    from goprowl_spark.session import spread_narrow_scan
+
+    return spread_narrow_scan(_docs(spark, sf_dir), "doc_id")
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -238,7 +248,7 @@ def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 Suggest(prefix) — a stub in the reference (basic_search.go:228),
     real here: distinct vocabulary terms with prefix 'b'."""
-    postings = ranking.build_postings(_docs(spark, sf_dir), text_col="text")
+    postings = ranking.build_postings(_docs_spread(spark, sf_dir), text_col="text")
     return (
         postings.select("term")
         .where(F.col("term").startswith("b"))
@@ -251,7 +261,7 @@ def q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        ranking.build_postings(_docs(spark, sf_dir), text_col="text")
+        ranking.build_postings(_docs_spread(spark, sf_dir), text_col="text")
         .where(F.col("doc_id") < 100)
         .orderBy("term", "doc_id")
     )
@@ -268,7 +278,7 @@ BM25_QUERY = "spark data join"
 
 
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
     postings = ranking.build_postings(docs, text_col="text")
     stats = ranking.build_doc_stats(docs, text_col="text")
     scored = ranking.tfidf_scores(spark, postings, stats, docs.count(), TFIDF_QUERY)
@@ -278,7 +288,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
     postings = ranking.build_postings(docs, text_col="text")
     stats = ranking.build_doc_stats(docs, text_col="text")
     scored = ranking.bm25_scores(spark, postings, stats, docs.count(), BM25_QUERY)
@@ -298,7 +308,7 @@ BATCH_QUERIES = {
 
 def q_tfidf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF twin of bm25_batch — same one-pass batch serving shape."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
     postings = ranking.build_postings(docs, text_col="text")
     stats = ranking.build_doc_stats(docs, text_col="text")
     scored = ranking.tfidf_scores_batch(
@@ -312,7 +322,7 @@ def q_tfidf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N queries scored in ONE postings pass (the serving shape: one
     broadcast of all query terms, one scan, (query_id, doc_id, score))."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
     postings = ranking.build_postings(docs, text_col="text")
     stats = ranking.build_doc_stats(docs, text_col="text")
     scored = ranking.bm25_scores_batch(

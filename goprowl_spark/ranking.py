@@ -42,14 +42,13 @@ def build_postings(
 ) -> DataFrame:
     """term → (doc, tf) postings (A3; IndexDocument indexer.go:30-57).
 
-    The tokenize+explode map stage is spread to session parallelism when
-    the scan is narrower than that (single-file tables scan as one
-    partition; see session.spread_narrow_scan)."""
-    from goprowl_spark.session import spread_narrow_scan
-
+    Deliberately does NOT repartition its input: it runs inside the crawl
+    tail write (crawl.py), where an injected exchange would change the
+    round's tuned shuffle structure. Callers feeding it a narrow raw scan
+    (single small parquet file) should spread it first — see
+    session.spread_narrow_scan and contract._docs_spread."""
     return (
-        spread_narrow_scan(documents, id_col)
-        .select(
+        documents.select(
             F.col(id_col).alias("doc_id"),
             F.explode(tokens_col(F.col(text_col))).alias("term"),
         )
