@@ -6,9 +6,9 @@ parse UDF → link explode → Bloom probe + exact anti-join → snapshot commit
 measured end-to-end including per-round snapshot I/O.
 
 Scaling evidence (north_rule N vs 4N executors, sandbox stand-in): the same
-crawl on the same input at local[8] and local[32]; scaling efficiency =
-throughput(32) / (4 × throughput(8)). Reported in the JSON line and in
-BENCH/BASELINE.md.
+crawl on the same input pinned to 4 and 16 machine cores (taskset over the
+whole process tree — see run_crawl); scaling efficiency = throughput(16c) /
+(4 × throughput(4c)). Reported in the JSON line and in BENCH/BASELINE.md.
 
 Also times the headline analytical queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1). Prints ONE JSON line.
