@@ -781,6 +781,29 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+PQ_M, PQ_CODES, PQ_ITER = 4, 8, 2
+
+
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k: per-subvector deterministic k-means
+    codebooks (same exact-integer Lloyd machinery as IVF), vectors encoded
+    to PQ_M small code ids in one map-only Arrow pass, and the query scored
+    with literal lookup-table adds over the CODES table only — the raw
+    vectors are never read at query time (D floats → M bytes per vector is
+    the 100-TB memory story). Oracle replays all four k-means chains, the
+    encode argmax and the ADC tables bit-for-bit (similarity.pq_oracle_sql)."""
+    emb = _emb(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == IVF_QUERY_ID).collect()[0]["embedding"]
+    ]
+    codes, books = similarity.build_pq_index(
+        emb, m=PQ_M, k_codes=PQ_CODES, n_iter=PQ_ITER
+    )
+    top = similarity.pq_topk(codes, books, qv, k=IVF_K)
+    return top.select("vec_id", F.round("pq_cosine", 6).alias("pq_cosine"))
+
+
 # ---------------------------------------------------------------- textstats
 
 def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -789,6 +812,34 @@ def q_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.feature_hash_embed(_docs(spark, sf_dir)).orderBy(
         "doc_id", "dim"
     )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filters: top-bigram fraction
+    and duplicated bi/trigram fractions — the quality signals that catch
+    boilerplate and degenerate text corpus-level dedup can't see."""
+    return textstats.repetition_stats(_docs_spread(spark, sf_dir)).orderBy("doc_id")
+
+
+DUP_WINDOW_K = 8
+
+
+def q_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022): every 8-token window shared
+    verbatim across documents, with doc and occurrence counts — the span
+    table a substring-dedup pass cuts from the corpus."""
+    return dedup.duplicated_windows(
+        _docs_spread(spark, sf_dir), k=DUP_WINDOW_K
+    ).orderBy("whash")
+
+
+def q_doc_dup_window_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination: the fraction of a doc's 8-token windows
+    that also appear in another document (the keep/cut score driving
+    substring-dedup removal decisions)."""
+    return dedup.doc_dup_window_frac(
+        _docs_spread(spark, sf_dir), k=DUP_WINDOW_K
+    ).orderBy("doc_id")
 
 
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1606,6 +1657,16 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
     "emb_cosine_pairs": _emb_cosine_pairs_oracle(),
     "emb_ivf_topk": _emb_ivf_topk_oracle(),
     "emb_lsh_pairs": _emb_lsh_pairs_oracle(),
+    "emb_pq_topk": (
+        "SELECT vec_id, round(pq_cosine, 6) AS pq_cosine FROM ("
+        + similarity.pq_oracle_sql(
+            IVF_QUERY_ID, m=PQ_M, k_codes=PQ_CODES, n_iter=PQ_ITER, k=IVF_K
+        )
+        + ") t"
+    ),
+    "repetition_stats": textstats.repetition_stats_sql("documents", "doc_id", "text"),
+    "dup_windows": dedup.duplicated_windows_sql("documents", k=DUP_WINDOW_K),
+    "doc_dup_window_frac": dedup.doc_dup_window_frac_sql("documents", k=DUP_WINDOW_K),
     "unigram_logprob": textstats.unigram_logprob_sql("documents", "doc_id", "text"),
     "feature_hash_embed": textstats.feature_hash_embed_sql("documents", "doc_id", "text"),
     "lang_id": textstats.lang_id_sql("documents", "doc_id", "text"),
@@ -1629,6 +1690,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, qstr in SEARCH_QUERIES.items():
         qs[name] = _mk_search(qstr)
     qs["media_pixel_stats"] = q_media_pixel_stats
+    # round-4 additions — new queries lead so their first driver round
+    # verifies them
+    qs.update({
+        "repetition_stats": q_repetition_stats,
+        "dup_windows": q_dup_windows,
+        "doc_dup_window_frac": q_doc_dup_window_frac,
+        "emb_pq_topk": q_emb_pq_topk,
+    })
     qs.update({
         "crawl_bfs_seen": q_crawl_bfs_seen,
         "crawl_budget_seen": q_crawl_budget_seen,
@@ -1649,10 +1718,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits,
         "tfidf_batch": q_tfidf_batch,
         "topk_per_group": q_topk_per_group,
-        "broadcast_join_agg": q_broadcast_join_agg,
-        "set_except": q_set_except,
-        "agg_q1": q_agg_q1,
-        "metrics_rollup": q_metrics_rollup,
         "sessionize": q_sessionize,
         "stream_windowed_counts": q_stream_windowed_counts,
         "dedup_exact": q_dedup_exact,
@@ -1677,9 +1742,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "media_decode": q_media_decode,
     })
-    # back of the rotation: driver-green in r3, re-verifiable locally via
-    # tools/check_contract.py in seconds
+    # back of the rotation: driver-green in r3 (several in r1-r3), exercised
+    # by the same operators elsewhere in the window, re-verifiable locally
+    # via tools/check_contract.py in seconds
     qs.update({
+        "broadcast_join_agg": q_broadcast_join_agg,
+        "set_except": q_set_except,
+        "agg_q1": q_agg_q1,
+        "metrics_rollup": q_metrics_rollup,
         "list_all": q_list_all,
         "point_lookup": q_point_lookup,
         "pagination": q_pagination,

@@ -390,3 +390,130 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------- substring dedup
+
+def _token_windows(
+    df: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, whash) — md5 of every k-token sliding window (normalized
+    tokens, overlap step 1). The building block of exact substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): any k-token span shared verbatim by two documents yields an
+    identical window hash. Map-only: the windows materialize inside one
+    higher-order-function projection, no UDF, no shuffle."""
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda t: t != F.lit(""),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("ts"))
+    ts = F.col("ts")
+    windows = F.transform(
+        F.slice(ts, 1, F.greatest(F.size(ts) - (k - 1), F.lit(0))),
+        lambda t, i: F.md5(F.concat_ws(" ", F.slice(ts, i + 1, k))),
+    )
+    return base.select("doc_id", F.explode(windows).alias("whash"))
+
+
+def duplicated_windows(
+    df: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(whash, n_docs, n_occurrences) for every k-token window appearing in
+    more than one document — the cross-document verbatim-span table that
+    exact substring dedup removes. One partial-aggregated shuffle keyed by
+    window hash; at 10^12 windows the distinct-doc count stays a two-phase
+    aggregate (no per-key row explosion), and the output is only the
+    duplicated tail, orders of magnitude smaller than the input."""
+    w = _token_windows(df, k, id_col, text_col)
+    return (
+        w.groupBy("whash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def doc_dup_window_frac(
+    df: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_windows, dup_windows, dup_window_frac) — per document, the
+    fraction of its k-token windows that also appear in some OTHER document
+    (the per-doc contamination score; docs above a threshold get their
+    duplicated spans cut or are dropped whole). Shape: window hashes join
+    the duplicated-window set (bounded by the duplicated tail — broadcast
+    it when it fits, as any corpus-scale run would), then a doc-keyed
+    rollup; docs shorter than k tokens report zero windows."""
+    w = _token_windows(df, k, id_col, text_col)
+    dup = duplicated_windows(df, k, id_col, text_col).select(
+        "whash", F.lit(1).alias("is_dup")
+    )
+    per_doc = (
+        w.join(dup, "whash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("is_dup").alias("dup_windows"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+        F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+        F.round(
+            F.coalesce(
+                F.col("dup_windows").cast("double")
+                / F.greatest(F.col("n_windows").cast("double"), F.lit(1.0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("dup_window_frac"),
+    )
+
+
+def _windows_sql(table: str, k: int, id_col: str, text_col: str) -> str:
+    return f"""
+  SELECT {id_col} AS doc_id,
+         md5(array_to_string(ts[i : i + {k - 1}], ' ')) AS whash
+  FROM (
+    SELECT {id_col},
+           list_filter(regexp_split_to_array(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'), ' '),
+                       t -> t <> '') AS ts
+    FROM {table}
+  ), UNNEST(range(1, greatest(len(ts) - {k} + 2, 1))) AS u(i)
+"""
+
+
+def duplicated_windows_sql(
+    table: str, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    return f"""
+WITH w AS ({_windows_sql(table, k, id_col, text_col)})
+SELECT whash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+FROM w GROUP BY whash HAVING count(DISTINCT doc_id) > 1
+ORDER BY whash
+"""
+
+
+def doc_dup_window_frac_sql(
+    table: str, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    return f"""
+WITH w AS ({_windows_sql(table, k, id_col, text_col)}),
+dup AS (
+  SELECT whash FROM w GROUP BY whash HAVING count(DISTINCT doc_id) > 1
+),
+per_doc AS (
+  SELECT w.doc_id, count(*) AS n_windows, count(dup.whash) AS dup_windows
+  FROM w LEFT JOIN dup USING (whash) GROUP BY w.doc_id
+)
+SELECT b.{id_col} AS doc_id,
+       coalesce(p.n_windows, 0) AS n_windows,
+       coalesce(p.dup_windows, 0) AS dup_windows,
+       round(coalesce(p.dup_windows * 1.0 / greatest(p.n_windows * 1.0, 1.0), 0.0), 6) AS dup_window_frac
+FROM {table} b LEFT JOIN per_doc p ON b.{id_col} = p.doc_id
+ORDER BY doc_id
+"""

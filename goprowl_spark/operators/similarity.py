@@ -302,57 +302,64 @@ def kmeans_oracle_ctes(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prefix: str = "",
 ) -> str:
     """DuckDB CTE chain replaying :func:`kmeans_centroids` bit-for-bit;
     ends with ``cfin(cid, i, q)`` (quantized centroid components) plus the
-    shared ``qx(vec_id, i, q)`` / ``vn2(vec_id, n2)`` vector CTEs."""
+    shared ``qx(vec_id, i, q)`` / ``vn2(vec_id, n2)`` vector CTEs.
+
+    ``vec_col`` may be any list-valued expression over ``table`` (e.g. an
+    ``embedding[1:16]`` slice for product quantization); ``prefix``
+    namespaces every CTE so several chains — one per PQ subvector —
+    compose in a single WITH clause."""
+    P = prefix
     parts = [
-        f"""qe AS MATERIALIZED (
+        f"""{P}qe AS MATERIALIZED (
   SELECT {id_col} AS vec_id,
          list_transform({vec_col},
            x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT)) AS qv
   FROM {table}
 ),
-qx AS MATERIALIZED (
+{P}qx AS MATERIALIZED (
   SELECT vec_id, CAST(unnest(qv) AS BIGINT) AS q,
          generate_subscripts(qv, 1) AS i
-  FROM qe
+  FROM {P}qe
 ),
-vn2 AS MATERIALIZED (SELECT vec_id, CAST(sum(q*q) AS BIGINT) AS n2 FROM qx GROUP BY vec_id),
-kinit AS MATERIALIZED (
+{P}vn2 AS MATERIALIZED (SELECT vec_id, CAST(sum(q*q) AS BIGINT) AS n2 FROM {P}qx GROUP BY vec_id),
+{P}kinit AS MATERIALIZED (
   SELECT vec_id AS cvid,
          CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cid
   FROM {table}
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
 ),
-c0 AS MATERIALIZED (SELECT cid, i, q FROM kinit JOIN qx ON qx.vec_id = cvid)"""
+{P}c0 AS MATERIALIZED (SELECT cid, i, q FROM {P}kinit JOIN {P}qx ON {P}qx.vec_id = cvid)"""
     ]
     for k in range(1, n_iter + 1):
         p = k - 1
-        parts.append(f"""cn{p} AS MATERIALIZED (SELECT cid, CAST(sum(q*q) AS BIGINT) AS n2 FROM c{p} GROUP BY cid),
-d{k} AS MATERIALIZED (
+        parts.append(f"""{P}cn{p} AS MATERIALIZED (SELECT cid, CAST(sum(q*q) AS BIGINT) AS n2 FROM {P}c{p} GROUP BY cid),
+{P}d{k} AS MATERIALIZED (
   SELECT x.vec_id, c.cid, CAST(sum(x.q * c.q) AS BIGINT) AS d
-  FROM qx x JOIN c{p} c USING (i) GROUP BY x.vec_id, c.cid
+  FROM {P}qx x JOIN {P}c{p} c USING (i) GROUP BY x.vec_id, c.cid
 ),
-a{k} AS MATERIALIZED (
+{P}a{k} AS MATERIALIZED (
   SELECT vec_id, cid FROM (
     SELECT s.vec_id, s.cid,
            CASE WHEN v.n2 = 0 OR n.n2 = 0 THEN -2.0
                 ELSE CAST(s.d AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(n.n2 AS DOUBLE)))
            END AS cos
-    FROM d{k} s JOIN vn2 v USING (vec_id) JOIN cn{p} n USING (cid))
+    FROM {P}d{k} s JOIN {P}vn2 v USING (vec_id) JOIN {P}cn{p} n USING (cid))
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) = 1
 ),
-u{k} AS MATERIALIZED (
+{P}u{k} AS MATERIALIZED (
   SELECT cid, i, CAST(sum(q) AS BIGINT) AS s, count(*) AS m
-  FROM a{k} JOIN qx USING (vec_id) GROUP BY cid, i
+  FROM {P}a{k} JOIN {P}qx USING (vec_id) GROUP BY cid, i
 ),
-c{k} AS MATERIALIZED (
-  SELECT cid, i, CAST((s - ((s % m + m) % m)) // m AS BIGINT) AS q FROM u{k}
+{P}c{k} AS MATERIALIZED (
+  SELECT cid, i, CAST((s - ((s % m + m) % m)) // m AS BIGINT) AS q FROM {P}u{k}
   UNION ALL
-  SELECT cid, i, q FROM c{p} WHERE cid NOT IN (SELECT cid FROM u{k})
+  SELECT cid, i, q FROM {P}c{p} WHERE cid NOT IN (SELECT cid FROM {P}u{k})
 )""")
-    parts.append(f"cfin AS MATERIALIZED (SELECT cid, i, q FROM c{n_iter})")
+    parts.append(f"{P}cfin AS MATERIALIZED (SELECT cid, i, q FROM {P}c{n_iter})")
     return ",\n".join(parts)
 
 
@@ -393,6 +400,197 @@ def ivf_topk(
     return ivf_topk_indexed(
         assigned, probe_clusters_quant(cents, query_vec, nprobe), query_vec, k
     )
+
+
+# --------------------------------------------------- product quantization
+#
+# PQ (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search"): split each D-dim vector into M subvectors, k-means each
+# subspace independently (k_codes codewords), store only the M code ids
+# per vector (D floats → M bytes — the 100-TB answer to "the embeddings
+# don't fit"). Queries score against the codebooks, never the vectors:
+# an asymmetric-distance (ADC) lookup table per subvector turns scoring
+# into M array-index adds — map-only, no vector I/O at all.
+#
+# Everything reuses the deterministic integer k-means above, so the
+# codebooks, the code assignment, and the ADC scores replay bit-for-bit
+# in DuckDB (pq_oracle_sql): codewords are exact integers, the per-code
+# dot/norm tables are exact integer sums (< 2^53, hence also exact as
+# doubles), and the final cosine is the same three correctly-rounded
+# float ops in both engines.
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[tuple[int, list[int]]]]]:
+    """The PQ BUILD step — run once, materialize the codes.
+
+    Returns (codes, codebooks): ``codes`` is (vec_id, codes array<int> of
+    length ``m``); ``codebooks[s]`` is subvector ``s``'s quantized k-means
+    codebook. The encode pass is ONE map-only projection (m Arrow-batched
+    assignment UDFs over array slices — no shuffle, no vector join); at
+    scale, write ``codes`` next to the id and drop the raw vectors from
+    the serving path."""
+    dim = len(embeddings.select(vec_col).first()[vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    w = dim // m
+    codebooks = []
+    for s in range(m):
+        sl = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * w + 1, w).alias("embedding"),
+        )
+        codebooks.append(kmeans_centroids(sl, k_codes, n_iter))
+    cols = [F.col(id_col).alias("vec_id")]
+    for s in range(m):
+        assign = _assign_quant_udf(codebooks[s], quantized=False)
+        cols.append(assign(F.slice(F.col(vec_col), s * w + 1, w)).alias(f"_c{s}"))
+    codes = embeddings.select(*cols).select(
+        "vec_id", F.array(*[f"_c{s}" for s in range(m)]).alias("codes")
+    )
+    return codes, codebooks
+
+
+def _quantize_list(xs: list[float]) -> list[int]:
+    return [int(math.floor(float(x) * KM_SCALE + 0.5)) for x in xs]
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: list[list[tuple[int, list[int]]]],
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """The PQ QUERY step (ADC): build the per-subvector dot / norm lookup
+    tables driver-side from the quantized query and the integer codebooks
+    (exact arithmetic), then score every vector with M literal-array
+    lookups — a map-only scan over the CODES table (M small ints per row,
+    the raw vectors are never read) feeding a partial top-k. Returns
+    (vec_id, pq_cosine): the cosine between the query and each vector's
+    PQ reconstruction, the standard ADC approximation."""
+    m = len(codebooks)
+    w = len(query_vec) // m
+    qn2 = 0
+    dot_tabs, n2_tabs = [], []
+    for s, cents in enumerate(codebooks):
+        qq = _quantize_list(query_vec[s * w : (s + 1) * w])
+        qn2 += sum(v * v for v in qq)
+        order = sorted(cents)
+        dot_tabs.append([float(sum(a * b for a, b in zip(qq, c))) for _, c in order])
+        n2_tabs.append([float(sum(x * x for x in c)) for _, c in order])
+    code = lambda s: F.col("codes").getItem(s) + 1  # noqa: E731
+    lit_arr = lambda vals: F.array(*[F.lit(v) for v in vals])  # noqa: E731
+    approx_dot = sum(
+        (F.element_at(lit_arr(dot_tabs[s]), code(s)) for s in range(m)),
+        start=F.lit(0.0),
+    )
+    approx_n2 = sum(
+        (F.element_at(lit_arr(n2_tabs[s]), code(s)) for s in range(m)),
+        start=F.lit(0.0),
+    )
+    sim = F.when(
+        (approx_n2 == 0.0) | F.lit(qn2 == 0), F.lit(-2.0)
+    ).otherwise(
+        approx_dot / (F.sqrt(approx_n2) * F.lit(math.sqrt(qn2)))
+    )
+    return (
+        codes.select("vec_id", sim.alias("pq_cosine"))
+        .orderBy(F.col("pq_cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def pq_assign_oracle_ctes(prefix: str) -> str:
+    """Final-assignment CTEs over a prefixed k-means chain: ``{p}afin``
+    maps each vec_id to its nearest final codeword (same exact integer
+    cosine argmax as the engine's encode pass)."""
+    P = prefix
+    return f"""{P}cnf AS MATERIALIZED (SELECT cid, CAST(sum(q*q) AS BIGINT) AS n2 FROM {P}cfin GROUP BY cid),
+{P}dfin AS MATERIALIZED (
+  SELECT x.vec_id, c.cid, CAST(sum(x.q * c.q) AS BIGINT) AS d
+  FROM {P}qx x JOIN {P}cfin c USING (i) GROUP BY x.vec_id, c.cid
+),
+{P}afin AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, s.cid,
+           CASE WHEN v.n2 = 0 OR n.n2 = 0 THEN -2.0
+                ELSE CAST(s.d AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(n.n2 AS DOUBLE)))
+           END AS cos
+    FROM {P}dfin s JOIN {P}vn2 v USING (vec_id) JOIN {P}cnf n USING (cid))
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) = 1
+)"""
+
+
+def pq_oracle_sql(
+    query_id: int,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iter: int = 2,
+    k: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Full DuckDB replay of build_pq_index + pq_topk: one prefixed
+    k-means chain + final assignment per subvector, then the ADC lookup
+    (integer dot/norm of the quantized query — the ``query_id`` row, sliced
+    exactly like every other vector — against each final codeword) summed
+    across subvectors. Bit-identical arithmetic to the engine: every term
+    is an exact BIGINT until the three final correctly-rounded float ops."""
+    chains = []
+    for s in range(m):
+        P = f"s{s}_"
+        chains.append(
+            kmeans_oracle_ctes(
+                k_codes, n_iter, table=table, id_col=id_col,
+                vec_col=f"{vec_col}[{s} * len({vec_col}) // {m} + 1 : ({s} + 1) * len({vec_col}) // {m}]",
+                prefix=P,
+            )
+        )
+        chains.append(pq_assign_oracle_ctes(P))
+        chains.append(
+            f"{P}qq AS (SELECT i, q FROM {P}qx WHERE vec_id = {query_id})"
+        )
+        chains.append(
+            f"""{P}qdot AS MATERIALIZED (
+  SELECT c.cid, CAST(sum(c.q * qq.q) AS BIGINT) AS d
+  FROM {P}cfin c JOIN {P}qq qq USING (i) GROUP BY c.cid
+)"""
+        )
+    qn2_sum = " + ".join(
+        f"(SELECT CAST(sum(q*q) AS BIGINT) FROM s{s}_qq)" for s in range(m)
+    )
+    chains.append(f"qn2t AS (SELECT ({qn2_sum}) AS n2)")
+    joins = "\n  ".join(
+        f"JOIN s{s}_afin a{s} USING (vec_id) "
+        f"JOIN s{s}_qdot d{s} ON d{s}.cid = a{s}.cid "
+        f"JOIN s{s}_cnf n{s} ON n{s}.cid = a{s}.cid"
+        for s in range(m)
+    )
+    dot_sum = " + ".join(f"d{s}.d" for s in range(m))
+    n2_sum = " + ".join(f"n{s}.n2" for s in range(m))
+    return f"""
+WITH {",".join(chains)},
+scored AS (
+  SELECT v.vec_id,
+         CAST({dot_sum} AS DOUBLE) AS ad,
+         CAST({n2_sum} AS DOUBLE) AS an2
+  FROM (SELECT DISTINCT vec_id FROM s0_qx) v
+  {joins}
+)
+SELECT vec_id,
+       CASE WHEN an2 = 0 OR (SELECT n2 FROM qn2t) = 0 THEN -2.0
+            ELSE ad / (sqrt(an2) * sqrt(CAST((SELECT n2 FROM qn2t) AS DOUBLE))) END AS pq_cosine
+FROM scored
+ORDER BY pq_cosine DESC, vec_id ASC
+LIMIT {k}
+"""
 
 
 def _plane_component(p: int, j: int) -> int:

@@ -280,3 +280,119 @@ SELECT {id_col} AS doc_id,
 FROM {table}
 ORDER BY doc_id
 """
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, top_bigram_frac, dup_bigram_frac, dup_trigram_frac)
+    — Gopher-style repetition filters (Rae et al. 2021, table A1): the
+    fraction of a document covered by its most frequent word 2-gram and
+    the fraction of n-gram occurrences whose n-gram repeats within the
+    document. High values flag boilerplate / spam / degenerate text that
+    per-corpus dedup can't see (the repetition is *inside* one document).
+
+    Plan shape: one explode pass emits bigrams AND trigrams tagged by n
+    (no second scan), then two partial-aggregated shuffles — (doc, n,
+    gram) counts, (doc, n) rollup — and a doc-keyed join back to the base
+    row for token counts. Everything is Column algebra (whole-stage
+    codegen); at 100 TB the gram aggregation map-side-combines within a
+    doc's partition, so shuffle volume is bounded by distinct grams, not
+    occurrences. Fractions round to 6 dp so the DuckDB twin hashes
+    identically; docs too short for an n-gram report 0.0, not null.
+    """
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "),
+        lambda t: t != F.lit(""),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("ts"))
+    ts = F.col("ts")
+    n_toks = F.size(ts)
+    bigrams = F.transform(
+        F.slice(ts, 1, F.greatest(n_toks - 1, F.lit(0))),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(ts, i + 2)),
+    )
+    trigrams = F.transform(
+        F.slice(ts, 1, F.greatest(n_toks - 2, F.lit(0))),
+        lambda t, i: F.concat_ws(
+            " ", t, F.element_at(ts, i + 2), F.element_at(ts, i + 3)
+        ),
+    )
+    tag = lambda arr, n: F.transform(  # noqa: E731
+        arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+    )
+    grams = base.select(
+        "doc_id", F.explode(F.concat(tag(bigrams, 2), tag(trigrams, 3))).alias("g")
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counts = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+    per_n = counts.groupBy("doc_id", "n").agg(
+        F.max("c").alias("top_cnt"),
+        F.sum("c").alias("total_occ"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_occ"),
+    )
+    two, three = F.col("n") == 2, F.col("n") == 3
+    stats = per_n.groupBy("doc_id").agg(
+        F.max(F.when(two, F.col("top_cnt"))).alias("b_top"),
+        F.max(F.when(two, F.col("total_occ"))).alias("b_total"),
+        F.max(F.when(two, F.col("dup_occ"))).alias("b_dup"),
+        F.max(F.when(three, F.col("total_occ"))).alias("t_total"),
+        F.max(F.when(three, F.col("dup_occ"))).alias("t_dup"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.coalesce(num.cast("double") / F.greatest(den, F.lit(1.0)), F.lit(0.0)), 6
+    )
+    return (
+        base.select("doc_id", n_toks.cast("long").alias("n_tokens"))
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            frac(F.col("b_top") * 2, nt).alias("top_bigram_frac"),
+            frac(F.col("b_dup"), F.col("b_total").cast("double")).alias(
+                "dup_bigram_frac"
+            ),
+            frac(F.col("t_dup"), F.col("t_total").cast("double")).alias(
+                "dup_trigram_frac"
+            ),
+        )
+    )
+
+
+def repetition_stats_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(regexp_split_to_array(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'), ' '),
+                     t -> t <> '') AS ts
+  FROM {table}
+),
+grams AS (
+  SELECT doc_id, 2 AS n, ts[i] || ' ' || ts[i + 1] AS gram
+  FROM base, UNNEST(range(1, greatest(len(ts), 1))) AS u(i)
+  UNION ALL
+  SELECT doc_id, 3 AS n, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS gram
+  FROM base, UNNEST(range(1, greatest(len(ts) - 1, 1))) AS u(i)
+),
+counts AS (SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY doc_id, n, gram),
+per_n AS (
+  SELECT doc_id, n, max(c) AS top_cnt, sum(c) AS total_occ,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ
+  FROM counts GROUP BY doc_id, n
+),
+stats AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN top_cnt END) AS b_top,
+         max(CASE WHEN n = 2 THEN total_occ END) AS b_total,
+         max(CASE WHEN n = 2 THEN dup_occ END) AS b_dup,
+         max(CASE WHEN n = 3 THEN total_occ END) AS t_total,
+         max(CASE WHEN n = 3 THEN dup_occ END) AS t_dup
+  FROM per_n GROUP BY doc_id
+)
+SELECT b.doc_id, len(b.ts) AS n_tokens,
+       round(coalesce(s.b_top * 2 * 1.0 / greatest(len(b.ts) * 1.0, 1.0), 0.0), 6) AS top_bigram_frac,
+       round(coalesce(s.b_dup * 1.0 / greatest(s.b_total * 1.0, 1.0), 0.0), 6) AS dup_bigram_frac,
+       round(coalesce(s.t_dup * 1.0 / greatest(s.t_total * 1.0, 1.0), 0.0), 6) AS dup_trigram_frac
+FROM base b LEFT JOIN stats s USING (doc_id)
+ORDER BY b.doc_id
+"""

@@ -68,6 +68,14 @@ STABLE_ROTATION = {
     "type_filter",
     "anti_join",
     "media_decode",
+    # rotated in round 4 to admit repetition_stats / dup_windows /
+    # doc_dup_window_frac / emb_pq_topk: all four rotated rows were
+    # driver-green in r3 (agg_q1 / broadcast_join_agg in r1-r3), and their
+    # operator shapes stay exercised by in-window queries
+    "broadcast_join_agg",
+    "set_except",
+    "agg_q1",
+    "metrics_rollup",
 }
 
 

@@ -103,3 +103,69 @@ def test_simhash_pairs_blocking_complete(spark, docs_df):
             assert (a, b) in got and got[(a, b)] == h
     for (a, b), h in got.items():
         assert h <= 3
+
+
+# ------------------------------------------------------- substring dedup
+
+def py_windows(text: str, k: int) -> list[str]:
+    toks = [t for t in text.lower().split() if t]
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def test_duplicated_windows_match_python(spark, docs_df):
+    """duplicated_windows(k=5) equals a direct Python sweep: same set of
+    cross-document 5-token spans, same doc/occurrence counts; the shared
+    'quick brown fox ... lazy dog' spans of docs 1/2/8 surface, doc 7
+    (7 tokens, unique) contributes nothing duplicated."""
+    import hashlib
+    from collections import defaultdict
+
+    k = 5
+    by_hash: dict[str, list[int]] = defaultdict(list)
+    for doc_id, text in DOCS:
+        for w in py_windows(text, k):
+            by_hash[hashlib.md5(w.encode()).hexdigest()].append(doc_id)
+    expect = {
+        h: (len(set(ids)), len(ids))
+        for h, ids in by_hash.items()
+        if len(set(ids)) > 1
+    }
+    got = {
+        r["whash"]: (r["n_docs"], r["n_occurrences"])
+        for r in D.duplicated_windows(docs_df, k=k).collect()
+    }
+    assert got == expect
+    assert got, "fixture must actually contain cross-doc duplicate spans"
+
+
+def test_doc_dup_window_frac_matches_python(spark, docs_df):
+    k = 5
+    dup_hashes = {
+        r["whash"] for r in D.duplicated_windows(docs_df, k=k).collect()
+    }
+    import hashlib
+
+    rows = {r["doc_id"]: r for r in D.doc_dup_window_frac(docs_df, k=k).collect()}
+    assert set(rows) == {d for d, _ in DOCS}
+    for doc_id, text in DOCS:
+        ws = py_windows(text, k)
+        dups = sum(
+            1 for w in ws
+            if hashlib.md5(w.encode()).hexdigest() in dup_hashes
+        )
+        r = rows[doc_id]
+        assert r["n_windows"] == len(ws)
+        assert r["dup_windows"] == dups
+        want = round(dups / max(len(ws), 1), 6) if ws else 0.0
+        assert r["dup_window_frac"] == pytest.approx(want, abs=1e-9)
+
+
+def test_doc_shorter_than_window_reports_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "just three tokens"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in D.doc_dup_window_frac(df, k=8).collect()}
+    assert rows[1]["n_windows"] == 0
+    assert rows[1]["dup_window_frac"] == 0.0
+    assert rows[2]["n_windows"] == 3

@@ -172,3 +172,70 @@ def test_kmeans_matches_duckdb_replay(spark, emb_df):
         byc.setdefault(cid, {})[i] = q
     oracle = sorted((cid, [d[i] for i in sorted(d)]) for cid, d in byc.items())
     assert [(c, list(v)) for c, v in cents] == oracle
+
+
+# ------------------------------------------------- product quantization
+
+def test_pq_codes_shape_and_determinism(spark, emb_df):
+    codes, books = SIM.build_pq_index(emb_df, m=4, k_codes=8, n_iter=2)
+    rows = codes.collect()
+    assert len(rows) == emb_df.count()
+    assert all(len(r["codes"]) == 4 for r in rows)
+    assert all(0 <= c < 8 for r in rows for c in r["codes"])
+    # deterministic: a rebuild yields identical codebooks and codes
+    codes2, books2 = SIM.build_pq_index(emb_df, m=4, k_codes=8, n_iter=2)
+    assert books == books2
+    assert sorted((r["vec_id"], list(r["codes"])) for r in rows) == sorted(
+        (r["vec_id"], list(r["codes"])) for r in codes2.collect()
+    )
+
+
+def test_pq_encode_matches_subvector_kmeans(spark, emb_df):
+    """Each code equals the nearest-codeword assignment of that subvector
+    under the SAME integer algebra the codebook k-means used."""
+    import numpy as np
+
+    codes, books = SIM.build_pq_index(emb_df, m=4, k_codes=8, n_iter=2)
+    rows = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    emb = {r["vec_id"]: list(r["embedding"]) for r in emb_df.collect()}
+    w = len(next(iter(emb.values()))) // 4
+    for s in range(4):
+        cents = np.array([c for _, c in sorted(books[s])], dtype=np.int64)
+        cn = np.sqrt((cents * cents).sum(axis=1).astype(np.float64))
+        for vid, v in emb.items():
+            q = np.floor(
+                np.array(v[s * w : (s + 1) * w], dtype=np.float64) * SIM.KM_SCALE
+                + 0.5
+            ).astype(np.int64)
+            nq = math.sqrt(float((q * q).sum()))
+            sims = [
+                -2.0 if nq == 0 or cn[j] == 0 else float(q @ cents[j]) / (nq * cn[j])
+                for j in range(len(cents))
+            ]
+            assert rows[vid][s] == int(np.argmax(sims))
+
+
+def test_pq_topk_recall_on_clustered_data(spark):
+    """ADC top-k over PQ codes recovers the true neighborhood on
+    cluster-structured data: recall@10 ≥ 0.8 averaged over probe queries
+    (the PQ reconstruction keeps within-cluster neighbors ahead of
+    out-of-cluster vectors). Quality knobs matter the usual way: at
+    k_codes=8/n_iter=2 one probe cluster's subspace projections merge with
+    a neighbor's (measured recall 0.74); 16 codewords + 4 Lloyd steps
+    separate them (0.92). The contract query keeps the small setting —
+    it proves bit-exactness, not recall; this test owns the quality bar."""
+    import numpy as np
+
+    emb = _clustered_embeddings(spark)
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    codes, books = SIM.build_pq_index(emb, m=4, k_codes=16, n_iter=4)
+    codes = codes.cache()
+    recalls = []
+    for qid in [0, 7, 13, 42, 99]:
+        q = [float(x) for x in mat[list(ids).index(qid)]]
+        brute = {i for i, _ in np_topk(ids, mat, q, 10)}
+        got = {r["vec_id"] for r in SIM.pq_topk(codes, books, q, k=10).collect()}
+        recalls.append(len(brute & got) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
