@@ -21,11 +21,15 @@ How real each codec is (all stdlib — no PIL/ffmpeg in this container):
   decompresses (variable code width, clear/EOI, 12-bit dictionary),
   expands palette rows and de-interlaces — round-trip-pinned against
   :func:`encode_gif` (a real LZW encoder).
-* **Video: container metadata real, frame pixels stubbed.**
-  :func:`parse_mp4_metadata` walks ISO-BMFF boxes (ftyp/moov/mvhd/tkhd)
-  for brand, duration, and dimensions — pinned against
-  :func:`encode_mp4_stub`; frame PIXEL decode (the posexplode frame
-  hashes) remains the one honestly stubbed path (needs a codec library).
+* **Video: MJPEG-in-AVI frame pixels fully real; MP4 metadata real,
+  MP4 frame pixels stubbed.** :func:`decode_avi_mjpeg` walks the RIFF
+  AVI container (hdrl/avih/strl/strh → LIST movi → 00dc chunks) and
+  every frame is a baseline JPEG decoded by the real
+  :func:`decode_jpeg_pixels` — round-trip-pinned against
+  :func:`encode_avi_mjpeg`. :func:`parse_mp4_metadata` walks ISO-BMFF
+  boxes (ftyp/moov/mvhd/tkhd) for brand, duration, and dimensions —
+  pinned against :func:`encode_mp4_stub`; MP4/H.264 frame pixels remain
+  the one honestly stubbed path (an inter-frame codec needs a library).
 
 For fully synthetic corpora (payload = hash bytes), :func:`decode_media`
 falls back to a clearly-marked deterministic fake so pipelines exercise
@@ -1316,11 +1320,13 @@ def encode_mp4_stub(
 
 
 def video_metadata(media: DataFrame) -> DataFrame:
-    """REAL container metadata for video rows whose payload is ISO-BMFF
-    (MP4): brand, duration, dimensions via :func:`parse_mp4_metadata`.
-    Non-MP4 payloads are dropped (same drop-what-you-can't-parse contract
-    as the pixel-feature operators). Frame pixels still need a codec
-    library; duration here feeds :func:`sample_frames` timestamps."""
+    """REAL container metadata for video rows: ISO-BMFF (MP4) via
+    :func:`parse_mp4_metadata` (brand, duration, dimensions) and RIFF AVI
+    via :func:`decode_avi_mjpeg` (brand 'AVI ', duration from frame count
+    × rate, dimensions from avih). Unparseable payloads are dropped (same
+    drop-what-you-can't-parse contract as the pixel-feature operators).
+    MP4 frame pixels still need a codec library; AVI/MJPEG frames decode
+    for real via :func:`video_frame_features`."""
     schema = (
         "doc_id string, media_ref string, brand string, "
         "duration_ms double, width int, height int"
@@ -1334,7 +1340,17 @@ def video_metadata(media: DataFrame) -> DataFrame:
             ):
                 m = parse_mp4_metadata(bytes(payload))
                 if m is None:
-                    continue
+                    try:
+                        w, h, fps, frames = decode_avi_mjpeg(bytes(payload))
+                    except (UnsupportedMedia, struct.error, ValueError,
+                            IndexError):
+                        continue
+                    m = {
+                        "brand": "AVI ",
+                        "duration_ms": len(frames) / fps * 1000.0 if fps else 0.0,
+                        "width": w,
+                        "height": h,
+                    }
                 rows.append(
                     (did, ref, m["brand"], m["duration_ms"],
                      m["width"], m["height"])
@@ -1365,4 +1381,158 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
         "media_ref",
         "frame_idx",
         F.xxhash64(F.concat(F.col("media_ref"), F.lit("#"), F.col("frame_idx").cast("string"))).alias("frame_hash"),
+    )
+
+
+# --------------------------------------------------------------- AVI / MJPEG
+#
+# MJPEG-in-AVI is the one mainstream video format whose frames are each a
+# self-contained baseline JPEG — which this module already decodes for
+# real — so the whole video pixel path composes from parts that are
+# individually round-trip-pinned: a RIFF chunk walk (same discipline as
+# the WAV reader) plus decode_jpeg_pixels per sampled frame.
+
+AVI_AVIH = 56  # main header payload size
+AVI_STRH = 56  # stream header payload size
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, float, list[bytes]]:
+    """REAL AVI demux: returns (width, height, fps, frames) where each
+    frame is the raw JPEG bytes of one '00dc' movi chunk (decode with
+    :func:`decode_jpeg_pixels`). Accepts only the MJPG/mjpg fourcc — an
+    AVI carrying an inter-frame codec raises :class:`UnsupportedMedia`
+    (decoding it honestly needs a codec library)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise UnsupportedMedia("not an AVI")
+    width = height = 0
+    usec_per_frame = 0
+    handler_ok = False
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal width, height, usec_per_frame, handler_ok
+        i = lo
+        while i + 8 <= hi:
+            cid = payload[i : i + 4]
+            clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            body_lo, body_hi = i + 8, min(i + 8 + clen, hi)
+            if cid == b"LIST" and body_hi - body_lo >= 4:
+                walk(body_lo + 4, body_hi)  # list type fourcc, then children
+            elif cid == b"avih" and clen >= AVI_AVIH:
+                (usec_per_frame,) = struct.unpack(
+                    "<I", payload[body_lo : body_lo + 4]
+                )
+                width, height = struct.unpack(
+                    "<II", payload[body_lo + 32 : body_lo + 40]
+                )
+            elif cid == b"strh" and clen >= AVI_STRH:
+                if payload[body_lo : body_lo + 4] == b"vids":
+                    fcc = payload[body_lo + 4 : body_lo + 8]
+                    if fcc not in (b"MJPG", b"mjpg"):
+                        raise UnsupportedMedia(
+                            f"AVI codec {fcc!r} (only MJPG frames are JPEGs)"
+                        )
+                    handler_ok = True
+            elif cid in (b"00dc", b"00db"):
+                frames.append(bytes(payload[body_lo:body_hi]))
+            i += 8 + clen + (clen & 1)
+
+    walk(12, len(payload))
+    if not handler_ok:
+        raise UnsupportedMedia("no MJPG video stream header")
+    fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+    return width, height, fps, frames
+
+
+def encode_avi_mjpeg(
+    width: int, height: int, jpeg_frames: list[bytes], fps: float = 10.0
+) -> bytes:
+    """Minimal AVI muxer around pre-encoded JPEG frames (use
+    :func:`encode_jpeg`) — the round-trip twin of :func:`decode_avi_mjpeg`
+    and the fixture builder for tests. Emits RIFF(AVI )/hdrl(avih,
+    strl(strh 'vids'/'MJPG', strf BITMAPINFOHEADER))/movi(00dc…)/idx1."""
+    n = len(jpeg_frames)
+    usec = int(round(1e6 / fps)) if fps else 0
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<14I", usec, 0, 0, 0x10, n, 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, int(round(fps)) or 1, 0, n, 0, 0, -1)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    movi_body = b"".join(chunk(b"00dc", f) for f in jpeg_frames)
+    idx, off = [], 4
+    for f in jpeg_frames:
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) & 1)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    body = b"AVI " + hdrl + lst(b"movi", movi_body) + chunk(b"idx1", b"".join(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def video_frame_features(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """REAL per-frame pixel features for MJPEG-AVI video rows: demux the
+    container, sample ``n_frames`` evenly spaced frames, baseline-JPEG-
+    decode each and emit (frame_idx, width, height, mean_px, mean_luma) —
+    the same drop-what-you-can't-decode contract as the image operators
+    (MP4 payloads raise UnsupportedMedia in the demux and are dropped).
+    Arrow-batched mapInPandas; one task decodes only its batch's frames."""
+    import math
+
+    schema = (
+        "doc_id string, media_ref string, frame_idx int, "
+        "width int, height int, mean_px double, mean_luma double"
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, ref, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                try:
+                    w, h, fps, frames = decode_avi_mjpeg(bytes(payload))
+                except (UnsupportedMedia, struct.error, ValueError, IndexError):
+                    continue
+                if not frames:
+                    continue
+                step = max(len(frames) // n_frames, 1)
+                for fi in list(range(0, len(frames), step))[:n_frames]:
+                    try:
+                        fw, fh, c, px = decode_jpeg_pixels(frames[fi])
+                    except (UnsupportedMedia, struct.error, ValueError, IndexError):
+                        continue
+                    npx = fw * fh * c
+                    mean = sum(px) / npx
+                    if c >= 3:
+                        luma = (
+                            0.299 * sum(px[0::c])
+                            + 0.587 * sum(px[1::c])
+                            + 0.114 * sum(px[2::c])
+                        ) / (fw * fh)
+                    else:
+                        luma = sum(px[0::c]) / (fw * fh)
+                    rows.append((did, ref, fi, fw, fh, mean, luma))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_ref", "frame_idx",
+                    "width", "height", "mean_px", "mean_luma",
+                ],
+            )
+
+    return media.where(F.col("media_type") == "video").mapInPandas(
+        feats, schema=schema
     )

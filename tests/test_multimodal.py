@@ -517,3 +517,97 @@ def test_mp4_metadata_roundtrip_and_operator(spark):
     rows = MM.video_metadata(media).collect()
     assert [(r["doc_id"], r["width"], r["height"], r["duration_ms"], r["brand"])
             for r in rows] == [("v1", 1920, 1080, 12345.0, "isom")]
+
+
+# ------------------------------------------------------------- AVI / MJPEG
+
+def _mjpeg_avi(n_frames=6, w=16, h=8, fps=5.0):
+    from goprowl_spark.operators import multimodal as MM
+
+    frames = []
+    for f in range(n_frames):
+        px = bytes(
+            ((x * 16 + y * 7 + f * 31 + c * 3) % 256)
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        frames.append(MM.encode_jpeg(w, h, 3, px, quant=1))
+    return MM.encode_avi_mjpeg(w, h, frames, fps=fps), frames
+
+
+def test_avi_mjpeg_roundtrip():
+    """Demux returns exactly the muxed JPEG frames, dimensions and fps;
+    each frame decodes to the same pixels as decoding the JPEG directly."""
+    from goprowl_spark.operators import multimodal as MM
+
+    payload, frames = _mjpeg_avi()
+    w, h, fps, got = MM.decode_avi_mjpeg(payload)
+    assert (w, h) == (16, 8)
+    assert fps == pytest.approx(5.0, rel=1e-6)
+    assert got == frames
+    for f in got:
+        fw, fh, c, px = MM.decode_jpeg_pixels(f)
+        assert (fw, fh, c) == (16, 8, 3)
+        assert len(px) == 16 * 8 * 3
+
+
+def test_avi_rejects_non_mjpeg_codec():
+    from goprowl_spark.operators import multimodal as MM
+
+    payload, _ = _mjpeg_avi(n_frames=1)
+    bad = payload.replace(b"vidsMJPG", b"vidsH264")
+    with pytest.raises(MM.UnsupportedMedia):
+        MM.decode_avi_mjpeg(bad)
+    with pytest.raises(MM.UnsupportedMedia):
+        MM.decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_video_frame_features_real_pixels(spark):
+    """Frame features over an MJPEG-AVI payload equal a direct numpy
+    computation on the decoded frames; an MP4 row (no frame codec) and a
+    garbage row are dropped, not faked."""
+    from goprowl_spark.operators import multimodal as MM
+
+    payload, frames = _mjpeg_avi(n_frames=6)
+    mp4 = MM.encode_mp4_stub(width=4, height=4, duration_ms=1000)
+    media = spark.createDataFrame(
+        [
+            ("d1", "http://x/v.avi", "video", bytearray(payload)),
+            ("d2", "http://x/v.mp4", "video", bytearray(mp4)),
+            ("d3", "http://x/v.webm", "video", bytearray(b"\x00" * 64)),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    rows = M.video_frame_features(media, n_frames=4).collect()
+    assert {r["doc_id"] for r in rows} == {"d1"}
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3]
+    for r in rows:
+        fw, fh, c, px = MM.decode_jpeg_pixels(frames[r["frame_idx"]])
+        mean = sum(px) / (fw * fh * c)
+        luma = (
+            0.299 * sum(px[0::3]) + 0.587 * sum(px[1::3]) + 0.114 * sum(px[2::3])
+        ) / (fw * fh)
+        assert r["width"] == fw and r["height"] == fh
+        assert r["mean_px"] == pytest.approx(mean, abs=1e-9)
+        assert r["mean_luma"] == pytest.approx(luma, abs=1e-9)
+
+
+def test_video_metadata_covers_avi_and_mp4(spark):
+    from goprowl_spark.operators import multimodal as MM
+
+    payload, _ = _mjpeg_avi(n_frames=6, fps=5.0)
+    mp4 = MM.encode_mp4_stub(width=32, height=24, duration_ms=1500)
+    media = spark.createDataFrame(
+        [
+            ("d1", "http://x/v.avi", "video", bytearray(payload)),
+            ("d2", "http://x/v.mp4", "video", bytearray(mp4)),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    rows = {r["doc_id"]: r for r in M.video_metadata(media).collect()}
+    assert rows["d1"]["brand"] == "AVI "
+    assert rows["d1"]["duration_ms"] == pytest.approx(1200.0)  # 6 / 5 fps
+    assert (rows["d1"]["width"], rows["d1"]["height"]) == (16, 8)
+    assert rows["d2"]["brand"] == "isom"
+    assert rows["d2"]["duration_ms"] == pytest.approx(1500.0)
