@@ -64,3 +64,29 @@ def test_repetition_flags_degenerate_docs(rep_rows):
     assert rep_rows[5]["top_bigram_frac"] == 0.0
     assert rep_rows[6]["n_tokens"] == 1
     assert rep_rows[6]["dup_trigram_frac"] == 0.0
+
+
+def test_repetition_stats_random_corpus(spark):
+    """Randomized (fixed-seed) corpus over a tiny alphabet — forces heavy
+    gram collisions, length edge cases, and whitespace mess; Spark must
+    equal the Python twin on every row."""
+    import random
+
+    rng = random.Random(41)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    docs = []
+    for i in range(60):
+        n = rng.randint(0, 12)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        sep = rng.choice([" ", "  ", "\t", " \n "])
+        docs.append((i, sep.join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.repetition_stats(df).collect()}
+    assert set(got) == {i for i, _ in docs}
+    for doc_id, text in docs:
+        want = py_stats(text)
+        assert got[doc_id]["n_tokens"] == want["n_tokens"], (doc_id, text)
+        for k in ("top_bigram_frac", "dup_bigram_frac", "dup_trigram_frac"):
+            assert got[doc_id][k] == pytest.approx(want[k], abs=1e-9), (
+                doc_id, k, text,
+            )

@@ -36,6 +36,15 @@ CHECKS = {
     # the mixture's only wide op is the per-source window (+ the output
     # sort); no joins, no extra aggregation passes
     "token_budget_mix": (["Window"], ["Join"]),
+    # round-4 operators — repetition: tagged-gram explode feeding the
+    # partial-agg cascade, never a cartesian/gram join
+    "repetition_stats": (["Generate", "HashAggregate"], ["CartesianProduct"]),
+    # substring dedup: the window aggregation is the ONLY join-free wide
+    # op (explode → partial agg → one exchange → filter)
+    "dup_windows": (["Generate", "HashAggregate"], ["Join"]),
+    # per-doc contamination: the duplicated tail is small by construction
+    # and must arrive broadcast, never sort-merge-shuffled
+    "doc_dup_window_frac": (["BroadcastHashJoin"], ["SortMergeJoin"]),
 }
 
 
