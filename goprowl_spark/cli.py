@@ -147,6 +147,46 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Per-document text-analysis sweep over a documents parquet: language
+    ID, token counts, quality heuristics, Gopher repetition fractions and
+    substring-dedup contamination (duplicated k-token windows) joined into
+    one stats table — the signals a curation pass filters on."""
+    from goprowl_spark.operators import dedup, textstats
+
+    if os.path.realpath(args.input) == os.path.realpath(args.output):
+        print(
+            "error: --input and --output resolve to the same path",
+            file=sys.stderr,
+        )
+        return 2
+
+    spark = get_spark("goprowl-stats")
+    docs = spark.read.parquet(args.input)
+    out = (
+        textstats.token_counts(docs)
+        .join(textstats.lang_id(docs), "doc_id")
+        .join(textstats.quality_scores(docs), "doc_id")
+        .join(textstats.repetition_stats(docs).drop("n_tokens"), "doc_id")
+        .join(
+            dedup.doc_dup_window_frac(docs, k=args.window_k).select(
+                "doc_id", "dup_window_frac"
+            ),
+            "doc_id",
+        )
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    summary = written.agg(
+        F.count("*").alias("docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.avg("dup_bigram_frac"), 6).alias("avg_dup_bigram_frac"),
+        F.round(F.avg("dup_window_frac"), 6).alias("avg_dup_window_frac"),
+    ).collect()[0]
+    print(json.dumps({k: float(summary[k]) for k in summary.asDict()}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="goprowl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -189,6 +229,15 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--jaccard-threshold", type=float, default=0.25)
     cu.add_argument("--df-cap", type=int, default=100)
     cu.set_defaults(fn=cmd_curate)
+
+    st = sub.add_parser("stats")
+    st.add_argument("--input", required=True, help="documents parquet path")
+    st.add_argument("--output", required=True, help="stats parquet path")
+    st.add_argument(
+        "--window-k", type=int, default=8,
+        help="token-window width for substring-dedup contamination",
+    )
+    st.set_defaults(fn=cmd_stats)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -68,3 +68,36 @@ def test_cli_crawl_search_list_curate(spark, tmp_path, capsys):
     assert rc == 2
     capsys.readouterr()
     assert spark.read.parquet(out_path).count() == before
+
+
+def test_cli_stats(spark, tmp_path, capsys):
+    """stats subcommand: one joined per-doc stats table (lang, tokens,
+    quality, repetition, substring contamination), summary JSON on stdout,
+    and the same-path guard as curate."""
+    out_path = str(tmp_path / "stats.parquet")
+    rc = cli.main(
+        [
+            "stats",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out_path,
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["docs"] > 0
+    assert 0.0 <= summary["avg_dup_window_frac"] <= 1.0
+
+    stats = spark.read.parquet(out_path)
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert stats.count() == n_docs
+    cols = set(stats.columns)
+    assert {
+        "doc_id", "ws_tokens", "predicted_lang", "quality",
+        "top_bigram_frac", "dup_bigram_frac", "dup_window_frac",
+    } <= cols
+
+    rc = cli.main(["stats", "--input", out_path, "--output", out_path])
+    assert rc == 2
+    capsys.readouterr()
