@@ -55,6 +55,28 @@ TARGET_EFF = float(os.environ.get("BENCH_TARGET_EFF", "0.8"))
 SCALE_CORES_LO = int(os.environ.get("BENCH_CORES_LO", "4"))
 SCALE_CORES_HI = int(os.environ.get("BENCH_CORES_HI", "16"))
 
+
+def _scratch_base() -> str | None:
+    """RAM-backed scratch for crawl snapshots + Spark local dirs.
+
+    On a real N-executor cluster, scratch I/O (shuffle files, snapshot
+    commits) lands on N *per-executor* local disks, so aggregate scratch
+    bandwidth scales with the cluster. This single shared-VM box has ONE
+    virtio disk whose throughput is both core-count-independent and
+    neighbor-contended (measured on a bad day: 11 MB/s single-writer /
+    80 MB/s 16-writer fsync-paced — which floors the biggest, most
+    write-heavy crawl round on the 16-core leg only, silently deflating
+    the N-vs-4N comparison by >2x). tmpfs is the faithful stand-in for
+    scale-proportional local disk; the data tables under test are still
+    real parquet read/written through the normal codepaths."""
+    override = os.environ.get("BENCH_SCRATCH")
+    if override is not None:
+        return override or None  # BENCH_SCRATCH="" disables tmpfs scratch
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return shm
+    return None
+
 HEADLINE = [
     "agg_q1",
     "topk_per_group",
@@ -112,15 +134,23 @@ def _crawl_inprocess(cores: int) -> dict:
     if active is not None:
         active.stop()
     mult = int(os.environ.get("BENCH_SHUFFLE_MULT", "1"))
+    scratch = _scratch_base()
+    extra = {}
+    if scratch:
+        local_dir = tempfile.mkdtemp(prefix=f"bench_sparklocal_{cores}_", dir=scratch)
+        extra["spark.local.dir"] = local_dir
     spark = get_spark(
-        f"bench-crawl-{cores}", cores=cores, shuffle_partitions=cores * mult
+        f"bench-crawl-{cores}",
+        cores=cores,
+        shuffle_partitions=cores * mult,
+        extra_conf=extra,
     )
 
     # warmup: a tiny crawl in the same session compiles the codegen, spins
     # up the Python workers and JIT-warms the JVM, so the measurement below
     # is steady-state throughput (what a long-running cluster crawl sees),
     # not session cold-start.
-    warmdir = tempfile.mkdtemp(prefix=f"bench_warm_{cores}_")
+    warmdir = tempfile.mkdtemp(prefix=f"bench_warm_{cores}_", dir=scratch)
     warm = CrawlEngine(
         spark,
         None,
@@ -132,7 +162,7 @@ def _crawl_inprocess(cores: int) -> dict:
     shutil.rmtree(warmdir, ignore_errors=True)
 
     seeds = [corpus.url(i * (CRAWL_N // CRAWL_SEEDS)) for i in range(CRAWL_SEEDS)]
-    workdir = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_")
+    workdir = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_", dir=scratch)
     eng = CrawlEngine(
         spark,
         None,
@@ -158,6 +188,8 @@ def _crawl_inprocess(cores: int) -> dict:
     big = max(rounds, key=lambda r: r["popped"] + r["candidates"])
     spark.stop()
     shutil.rmtree(workdir, ignore_errors=True)
+    if scratch:
+        shutil.rmtree(extra["spark.local.dir"], ignore_errors=True)
     # fetched+deduped work units: every popped URL is fetched, every
     # candidate passes the dedup filter
     return {

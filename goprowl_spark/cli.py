@@ -187,6 +187,41 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_sketch(args) -> int:
+    """Constant-memory cardinality + frequency sketches over one column of
+    a parquet table: HyperLogLog distinct estimate (with the exact count
+    and relative error alongside) and the Count-Min heavy hitters whose
+    estimated frequency clears --hh-threshold. One JSON line out."""
+    from goprowl_spark.operators import sketches
+
+    spark = get_spark("goprowl-sketch")
+    df = spark.read.parquet(args.input)
+    hll = sketches.hll_distinct(df, args.column).collect()[0]
+    out = {
+        "column": args.column,
+        "hll_estimate": float(hll["hll_estimate"]),
+        "exact_distinct": int(hll["exact_distinct"]),
+        "rel_err": float(hll["rel_err"]),
+    }
+    if args.hh_threshold:
+        hh = (
+            sketches.cms_heavy_hitters(df, args.column, args.hh_threshold)
+            .orderBy(F.desc("cms_estimate"))
+            .limit(args.hh_top)
+            .collect()
+        )
+        out["heavy_hitters"] = [
+            {
+                "key": str(r["key"]),
+                "estimate": int(r["cms_estimate"]),
+                "true_count": int(r["true_count"]),
+            }
+            for r in hh
+        ]
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="goprowl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -238,6 +273,17 @@ def main(argv: list[str] | None = None) -> int:
         help="token-window width for substring-dedup contamination",
     )
     st.set_defaults(fn=cmd_stats)
+
+    sk = sub.add_parser("sketch")
+    sk.add_argument("--input", required=True, help="parquet table path")
+    sk.add_argument("--column", required=True, help="column to sketch")
+    sk.add_argument(
+        "--hh-threshold", type=int, default=0,
+        help="report Count-Min heavy hitters with estimate >= this "
+        "(0 = skip the frequency sketch)",
+    )
+    sk.add_argument("--hh-top", type=int, default=20)
+    sk.set_defaults(fn=cmd_sketch)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -31,6 +31,7 @@ from goprowl_spark.operators import (
     multimodal,
     sessions,
     similarity,
+    sketches,
     textstats,
 )
 from goprowl_spark.parse import parse_spans_udf
@@ -842,6 +843,40 @@ def q_doc_dup_window_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+CMS_THRESHOLD_DIV = 125  # heavy hitter = estimated count >= total/125
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count over the fact table's order keys —
+    the O(m)-cost cardinality sketch a 10^10-URL frontier tracks its
+    seen-set size with (reference keeps an exact in-memory count,
+    goprowl crawler metrics; exact is impossible at frontier scale)."""
+    return sketches.hll_distinct(_tbl(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over event user_ids: every key whose
+    *sketch estimate* clears total/125, with the true count riding along
+    so the oracle verifies the one-sided error — the constant-memory
+    input to hot-host skew salting."""
+    ev = _tbl(spark, sf_dir, "events")
+    thr = ev.count() // CMS_THRESHOLD_DIV
+    return sketches.cms_heavy_hitters(ev, "user_id", thr).orderBy("key")
+
+
+def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive audit: build on even doc_ids, probe the
+    odd (disjoint) half, report per-probe bit hits — the measured
+    counterpart of the (1-e^{-kn/m})^k rate the crawl's URL-seen filter
+    (seen_filter.py) is sized by."""
+    docs = _docs(spark, sf_dir)
+    return sketches.bloom_fpr_audit(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        "doc_id",
+    ).orderBy("key")
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality signal: mean token log-probability under the
     corpus's own unigram distribution (the CCNet-perplexity stand-in)."""
@@ -895,6 +930,134 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_channels",
         "n_bytes",
     ).orderBy("media_ref")
+
+
+SPAN_PAGES = 400
+SPAN_CHECKSUM_MOD = 1000003  # keeps the per-span h60 summand < 2^20
+
+
+def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind statistics over the interleaved span table — the engine's
+    input shape (BASELINE.json input_hint: doc_id + array<struct<kind,
+    text, media_ref, offset>>). Drives the REAL parse path (corpus HTML →
+    Arrow parse UDF → explode) and aggregates counts, text volume,
+    offsets, and a full-content checksum (h60 over every span's
+    doc_id|offset|kind|text|media_ref) per kind; the oracle rebuilds every
+    span from the corpus ground-truth formulas, so a single character of
+    parser drift in any of ~3,900 spans flips the value hash."""
+    pages = corpus.corpus_df(spark, SPAN_PAGES).where(F.col("status") == 200)
+    flat = (
+        pages.select(
+            F.col("url").alias("doc_id"),
+            F.explode(parse_spans_udf(F.col("html"), F.col("url"))).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+    )
+    span_h = dedup.h60(
+        F.concat_ws(
+            "|",
+            F.col("doc_id"),
+            F.col("offset").cast("string"),
+            F.col("kind"),
+            F.col("text"),
+            F.col("media_ref"),
+        )
+    ) % SPAN_CHECKSUM_MOD
+    return (
+        flat.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.length("text")).alias("total_text_chars"),
+            F.sum("offset").alias("sum_offsets"),
+            F.sum(span_h).alias("checksum"),
+        )
+        .orderBy("kind")
+    )
+
+
+def _span_stats_oracle() -> str:
+    """Ground-truth span replay: every span of every 200-status page in
+    [0, SPAN_PAGES) rebuilt from the corpus formulas (corpus.py:81-167 —
+    word/title/paragraph/link_target/degree/media_count), then the same
+    per-kind aggregation as q_span_stats."""
+    from goprowl_spark.operators.dedup import h60_sql
+
+    v = len(corpus.VOCAB)
+    n = SPAN_PAGES
+    vocab_vals = ", ".join(f"({i}, '{w}')" for i, w in enumerate(corpus.VOCAB))
+
+    def url_of(x: str) -> str:
+        return (
+            f"'https://h' || (CASE WHEN ({x}) % 10 < 3 THEN 0 "
+            f"ELSE 1 + (({x}) % 9) END) || '.test/p/' || ({x})"
+        )
+
+    tgt = f"((p.i*7 + jj.j*13 + 1) % {n})"
+    span_key = (
+        'doc_id || \'|\' || "offset" || \'|\' || kind || \'|\' || text'
+        " || '|' || media_ref"
+    )
+    return f"""
+WITH vocab(vi, w) AS (VALUES {vocab_vals}),
+pages AS (
+  SELECT i FROM range({n}) t(i) WHERE i % 97 <> 33 AND i % 131 <> 57
+),
+title_spans AS (
+  SELECT p.i AS i, 'title' AS kind,
+         'Page ' || p.i || ' ' || w0.w || ' ' || w1.w || ' ' || w2.w AS text,
+         '' AS media_ref, 0 AS "offset"
+  FROM pages p, vocab w0, vocab w1, vocab w2
+  WHERE w0.vi = (p.i*31) % {v}
+    AND w1.vi = (p.i*31 + 7) % {v}
+    AND w2.vi = (p.i*31 + 14) % {v}
+),
+text_spans AS (
+  SELECT i, 'text' AS kind, string_agg(w, ' ' ORDER BY j) AS text,
+         '' AS media_ref, 1 + para AS "offset"
+  FROM (
+    SELECT p.i AS i, pp.p AS para, jj.j AS j, vv.w AS w
+    FROM pages p, range(3) pp(p), range(30) jj(j), vocab vv
+    WHERE vv.vi = (p.i*31 + (3 + pp.p*30 + jj.j)*7) % {v}
+  ) GROUP BY i, para
+),
+link_spans AS (
+  SELECT p.i AS i, 'link' AS kind,
+         'link ' || {tgt} AS text,
+         {url_of(tgt)} AS media_ref,
+         4 + jj.j AS "offset"
+  FROM pages p, range(4) jj(j)
+  WHERE jj.j < 2 + p.i % 3
+),
+media_spans AS (
+  SELECT p.i AS i, 'media' AS kind, '' AS text,
+         'https://h' || (CASE WHEN p.i % 10 < 3 THEN 0 ELSE 1 + (p.i % 9) END)
+           || '.test/img/' || p.i || '_' || kk.k || '.png' AS media_ref,
+         4 + (2 + p.i % 3) + kk.k AS "offset"
+  FROM pages p, range(2) kk(k)
+  WHERE kk.k < p.i % 3
+),
+flat AS (
+  SELECT {url_of('i')} AS doc_id, kind, text, media_ref, "offset"
+  FROM (
+    SELECT * FROM title_spans UNION ALL SELECT * FROM text_spans
+    UNION ALL SELECT * FROM link_spans UNION ALL SELECT * FROM media_spans
+  )
+)
+SELECT kind,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_chars,
+       CAST(sum("offset") AS BIGINT) AS sum_offsets,
+       CAST(sum({h60_sql(span_key)} % {SPAN_CHECKSUM_MOD}) AS BIGINT) AS checksum
+FROM flat
+GROUP BY kind
+ORDER BY kind
+"""
 
 
 MEDIA_PX_DOCS = 20
@@ -1664,6 +1827,15 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
         )
         + ") t"
     ),
+    "span_stats": _span_stats_oracle(),
+    "hll_distinct": sketches.hll_distinct_sql("lineitem", "l_orderkey"),
+    "cms_heavy_hitters": sketches.cms_heavy_hitters_sql(
+        "events", "user_id", f"SELECT count(*) // {CMS_THRESHOLD_DIV} FROM events"
+    ),
+    "bloom_fpr_audit": sketches.bloom_fpr_audit_sql(
+        "SELECT doc_id AS key FROM documents WHERE doc_id % 2 = 0",
+        "SELECT doc_id AS key FROM documents WHERE doc_id % 2 = 1",
+    ),
     "repetition_stats": textstats.repetition_stats_sql("documents", "doc_id", "text"),
     "dup_windows": dedup.duplicated_windows_sql("documents", k=DUP_WINDOW_K),
     "doc_dup_window_frac": dedup.doc_dup_window_frac_sql("documents", k=DUP_WINDOW_K),
@@ -1697,6 +1869,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_windows": q_dup_windows,
         "doc_dup_window_frac": q_doc_dup_window_frac,
         "emb_pq_topk": q_emb_pq_topk,
+        "hll_distinct": q_hll_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bloom_fpr_audit": q_bloom_fpr_audit,
+        "span_stats": q_span_stats,
     })
     qs.update({
         "crawl_bfs_seen": q_crawl_bfs_seen,

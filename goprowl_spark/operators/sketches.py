@@ -1,0 +1,382 @@
+"""Probabilistic sketches for frontier-scale cardinality and frequency:
+HyperLogLog distinct counting, Count-Min frequency estimation, and a
+Bloom-filter false-positive audit.
+
+Why these live in a crawl engine: a 10^10-URL frontier cannot afford exact
+answers to "how many distinct URLs/hosts have we seen" (HLL — the
+reference keeps this count exactly in memory at its scale:
+search/crawlers/colly.go:22,178 `pagesVisited` and the
+metrics/collector.go:25 `totalPagesProcessed` counter; at 10^10 the
+mergeable-register sketch is the distributed analog), "which hosts
+dominate the frontier" (Count-Min — the input to skew salting), or "is
+this URL probably seen" (Bloom — the probe half of seen_filter.py; this
+module *audits* a filter's false-positive rate: parameterize
+bloom_fpr_audit with the m/k a deployment runs and a sampled probe set
+to measure the real FP rate the crawl pays).
+
+All three are pure Column algebra over the same 60-bit md5 hash the dedup
+operators use (`dedup.h60`), so every sketch is *bit-exactly* replayable
+in DuckDB — the driver's value-hash oracle verifies registers, counters,
+and probe outcomes, not just shapes.
+
+Scale shapes (the reason sketches exist):
+
+* HLL: one explode-free map stage + ONE partial-aggregated shuffle whose
+  volume is <= m rows *per partition* (map-side max per register); the
+  register table is mergeable across partitions/days/clusters by simple
+  MAX, so at 100 TB it is the only cardinality operator whose cost is
+  O(m), not O(distinct).
+* Count-Min: ONE shuffle bounded by depth x width cells per partition
+  (map-side combine); the sketch (d*w rows) then BROADCASTS to estimate
+  any number of candidates map-only.
+* Bloom audit: bit table is <= m rows -> broadcast; probes never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from goprowl_spark.operators.dedup import h60, h60_sql
+
+# --------------------------------------------------------------------- HLL
+# p=10 -> m=1024 registers; the 60-bit h60 hash splits into a 10-bit
+# register index (top bits) and a 50-bit word whose leading-zero count
+# (rho) the register keeps the max of. 2^-rho sums stay exact by scaling
+# to integers: 2^(51-rho) is a BIGINT in [1, 2^50]; the total over 1024
+# registers is < 2^61 — no float until the single final division.
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024
+_W_BITS = 60 - HLL_P  # 50
+_W_MOD = 1 << _W_BITS  # 2^50
+_RHO_MAX = _W_BITS + 1  # 51
+_SCALE = 1 << _RHO_MAX  # 2^51 == scaled value of an empty register (2^-0)
+# alpha_1024 per Flajolet et al. 2007 (the m>=128 constant). The whole
+# constant prefactor alpha*m^2*2^51 is computed ONCE in Python and injected
+# into both engines as a string-cast DOUBLE: SQL literals with a decimal
+# point parse as DECIMAL in both Spark and DuckDB, and decimal division
+# takes a different arithmetic path than IEEE double (this produced a
+# 1e-6-boundary mismatch in driver-gate testing). A repr() round-trip
+# through CAST(... AS DOUBLE) is bit-exact everywhere.
+_ALPHA = 0.7213 / (1.0 + 1.079 / float(HLL_M))
+_HLL_PREF = _ALPHA * float(HLL_M) * float(HLL_M) * float(1 << 51)
+
+
+def _hll_register_cols(value: Column) -> tuple[Column, Column]:
+    """(register, rho) for one value: register = top p bits of h60,
+    rho = leading zeros of the remaining 50-bit word + 1 (bin-string
+    length gives the bit length exactly — no float log)."""
+    h = h60(value)
+    register = F.shiftright(h, _W_BITS)
+    w = h.bitwiseAND(F.lit(_W_MOD - 1))
+    rho = F.when(w == 0, F.lit(_RHO_MAX)).otherwise(
+        F.lit(_RHO_MAX) - F.length(F.bin(w))
+    )
+    return register.cast("int").alias("register"), rho.cast("int").alias("rho")
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """(register, rho) — the sketch itself, max rho per non-empty register.
+
+    Mergeable: union two register tables and re-take MAX(rho) to sketch
+    the union of the underlying sets (the property that makes HLL the
+    per-partition/per-day cardinality counter at 10^10 URLs)."""
+    register, rho = _hll_register_cols(F.col(col).cast("string"))
+    return (
+        df.select(register, rho)
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_distinct(df: DataFrame, col: str) -> DataFrame:
+    """One-row summary: (m, n_zero_registers, hll_estimate, exact_distinct,
+    rel_err). Carries the exact distinct count alongside the estimate so
+    the oracle (and the reader) verifies the error bound, not just the
+    formula. Small-range correction (linear counting) applied exactly as
+    published: E <= 2.5m with empty registers -> m*ln(m/V)."""
+    regs = hll_registers(df, col)
+    summary = regs.agg(
+        F.count("*").alias("n_used"),
+        F.sum(F.expr(f"CAST(pow(2.0, {_RHO_MAX} - rho) AS BIGINT)")).alias(
+            "sum_used"
+        ),
+    ).select(
+        (F.lit(HLL_M) - F.col("n_used")).cast("long").alias("n_zero_registers"),
+        (
+            F.col("sum_used")
+            + (F.lit(HLL_M).cast("long") - F.col("n_used")) * F.lit(_SCALE)
+        ).alias("sum_scaled"),
+    )
+    exact = df.agg(F.countDistinct(F.col(col)).alias("exact_distinct"))
+    raw = F.lit(_HLL_PREF) / F.col("sum_scaled")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("n_zero_registers") > 0),
+        F.log(F.lit(float(HLL_M)) / F.col("n_zero_registers"))
+        * F.lit(float(HLL_M)),
+    ).otherwise(raw)
+    return (
+        summary.crossJoin(exact)
+        .select(
+            F.lit(HLL_M).alias("m"),
+            F.col("n_zero_registers"),
+            F.round(est, 6).alias("hll_estimate"),
+            F.col("exact_distinct"),
+            F.round((est - F.col("exact_distinct")) / F.col("exact_distinct"), 6).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+def hll_distinct_sql(table: str, expr: str) -> str:
+    """DuckDB twin of hll_distinct — same hash, same integer registers,
+    same float op order, same correction branch."""
+    h = h60_sql(f"CAST({expr} AS VARCHAR)")
+    raw = f"CAST('{_HLL_PREF!r}' AS DOUBLE) / sum_scaled"
+    lin = f"ln(CAST({HLL_M} AS DOUBLE) / n_zero_registers) * CAST({HLL_M} AS DOUBLE)"
+    return f"""
+WITH hashed AS (
+  SELECT {h} AS h FROM {table}
+),
+regs AS (
+  SELECT h // {_W_MOD} AS register,
+         CASE WHEN h % {_W_MOD} = 0 THEN {_RHO_MAX}
+              ELSE {_RHO_MAX} - length(bin(h % {_W_MOD})) END AS rho
+  FROM hashed
+),
+sketch AS (SELECT register, max(rho) AS rho FROM regs GROUP BY register),
+summary AS (
+  SELECT CAST({HLL_M} - count(*) AS BIGINT) AS n_zero_registers,
+         CAST(sum(CAST(pow(2.0, {_RHO_MAX} - rho) AS BIGINT))
+              + ({HLL_M} - count(*)) * {_SCALE} AS BIGINT) AS sum_scaled
+  FROM sketch
+),
+exact AS (SELECT count(DISTINCT {expr}) AS exact_distinct FROM {table})
+SELECT CAST({HLL_M} AS INT) AS m,
+       n_zero_registers,
+       round(CASE WHEN {raw} <= {2.5 * HLL_M} AND n_zero_registers > 0
+                  THEN {lin}
+                  ELSE {raw} END, 6) AS hll_estimate,
+       exact_distinct,
+       round((CASE WHEN {raw} <= {2.5 * HLL_M} AND n_zero_registers > 0
+                   THEN {lin}
+                   ELSE {raw} END - exact_distinct) / exact_distinct, 6) AS rel_err
+FROM summary CROSS JOIN exact
+"""
+
+
+# --------------------------------------------------------------- Count-Min
+CMS_DEPTH = 4
+CMS_WIDTH = 128  # deliberately narrow so collisions (the overcount the
+# sketch guarantees is one-sided) are visible and oracle-verified
+
+
+def _cms_bucket(value: Column, row: int, width: int) -> Column:
+    """Row r's bucket for a value: h60 over a row-tagged key, mod width.
+    The '|' tag separator is safe for the integer/URL keys this engine
+    hashes (no '|' in them); h60 is non-negative so % is a true mod."""
+    return (h60(F.concat(F.lit(f"cms{row}|"), value)) % width).cast("int")
+
+
+def cms_sketch(
+    df: DataFrame, col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """(row, col, cnt) — one count per touched cell, one partial-aggregated
+    shuffle bounded by depth*width cells per map partition."""
+    v = F.col(col).cast("string")
+    entries = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(v, r, width).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("e")
+    ).select("e.row", "e.col")
+    return entries.groupBy("row", "col").agg(F.count("*").alias("cnt"))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold: int,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(key, true_count, cms_estimate, overcount) for every key whose
+    *estimate* clears the threshold — the sketch decides, as it would at
+    scale where true counts don't exist; true_count rides along so the
+    oracle verifies the one-sided error (estimate >= true, always).
+
+    Plan: sketch (d*w rows) broadcasts; candidates fan out to d lookup
+    rows each and take MIN over rows — the classic CMS point query."""
+    sketch = cms_sketch(df, col, depth, width)
+    truth = df.groupBy(F.col(col).alias("key")).agg(
+        F.count("*").alias("true_count")
+    )
+    kv = F.col("key").cast("string")
+    lookups = truth.select(
+        "key",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(kv, r, width).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select("key", "true_count", "e.row", "e.col")
+    est = (
+        lookups.join(F.broadcast(sketch), ["row", "col"])
+        .groupBy("key", "true_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.where(F.col("cms_estimate") >= threshold).select(
+        "key",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_count")).alias("overcount"),
+    )
+
+
+def cms_heavy_hitters_sql(
+    table: str,
+    expr: str,
+    threshold_expr: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB twin. threshold_expr may reference scalar CTEs the caller
+    includes via the {table} name (plain integer expressions here)."""
+    def bucket(e: str, r: int) -> str:
+        tagged = f"'cms{r}|' || {e}"
+        return f"({h60_sql(tagged)} % {width})"
+
+    vals = f"CAST({expr} AS VARCHAR)"
+    entry_rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, {bucket(vals, r)} AS col FROM {table}"
+        for r in range(depth)
+    )
+    lookup_rows = " UNION ALL ".join(
+        f"SELECT key, true_count, {r} AS row, "
+        f"{bucket('CAST(key AS VARCHAR)', r)} AS col FROM truth"
+        for r in range(depth)
+    )
+    return f"""
+WITH entries AS ({entry_rows}),
+sketch AS (SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+           FROM entries GROUP BY row, col),
+truth AS (SELECT {expr} AS key, CAST(count(*) AS BIGINT) AS true_count
+          FROM {table} GROUP BY {expr}),
+lookups AS ({lookup_rows}),
+est AS (
+  SELECT key, true_count, min(cnt) AS cms_estimate
+  FROM lookups JOIN sketch USING (row, col)
+  GROUP BY key, true_count
+)
+SELECT key, true_count, cms_estimate,
+       cms_estimate - true_count AS overcount
+FROM est WHERE cms_estimate >= ({threshold_expr})
+ORDER BY key
+"""
+
+
+# ------------------------------------------------------------- Bloom audit
+BLOOM_BITS = 1024
+BLOOM_K = 3
+
+
+def _bloom_bit(value: Column, row: int, m: int) -> Column:
+    return (h60(F.concat(F.lit(f"bf{row}|"), value)) % m).cast("int")
+
+
+def bloom_fpr_audit(
+    build_df: DataFrame,
+    probe_df: DataFrame,
+    key_col: str,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Build an m-bit/k-hash Bloom filter over build_df's keys, probe it
+    with probe_df's keys (assumed disjoint), and report per probe:
+    (key, n_bits_hit, false_positive) — false_positive=1 iff all k bits
+    are set, i.e. the filter would wrongly claim the key seen.
+
+    This is the measured counterpart of the theoretical (1-e^{-kn/m})^k
+    rate the crawl's URL-seen filter (seen_filter.py) is sized by; at
+    10^10 URLs the audit runs on a sampled probe set with the same plan:
+    bit table <= m rows -> broadcast, probes map-only."""
+    key = F.col(key_col).cast("string")
+    bits = (
+        build_df.select(
+            F.explode(
+                F.array(*[_bloom_bit(key, r, m) for r in range(k)])
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("set_", F.lit(1))
+    )
+    probes = probe_df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.array(*[_bloom_bit(key, r, m) for r in range(k)])).alias(
+            "bit"
+        ),
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "bit", "left")
+        .groupBy("key")
+        .agg(F.sum(F.coalesce(F.col("set_"), F.lit(0))).alias("n_bits_hit"))
+    )
+    return hits.select(
+        "key",
+        F.col("n_bits_hit").cast("long").alias("n_bits_hit"),
+        F.when(F.col("n_bits_hit") == k, 1).otherwise(0).cast("int").alias(
+            "false_positive"
+        ),
+    )
+
+
+def bloom_fpr_audit_sql(
+    build_select: str,
+    probe_select: str,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> str:
+    """DuckDB twin; build_select/probe_select are one-column (key) SELECTs."""
+    def bit(r: int) -> str:
+        tagged = f"'bf{r}|' || CAST(key AS VARCHAR)"
+        return f"({h60_sql(tagged)} % {m})"
+
+    bit_rows = " UNION ALL ".join(
+        f"SELECT {bit(r)} AS bit FROM build" for r in range(k)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT key, {bit(r)} AS bit FROM probe" for r in range(k)
+    )
+    return f"""
+WITH build AS ({build_select}),
+probe AS ({probe_select}),
+bits AS (SELECT DISTINCT bit FROM ({bit_rows})),
+probes AS ({probe_rows}),
+hits AS (
+  SELECT p.key,
+         CAST(sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_bits_hit
+  FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY p.key
+)
+SELECT key, n_bits_hit,
+       CAST(CASE WHEN n_bits_hit = {k} THEN 1 ELSE 0 END AS INT)
+         AS false_positive
+FROM hits
+ORDER BY key
+"""

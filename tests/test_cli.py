@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from goprowl_spark import cli, corpus
 
 
@@ -101,3 +103,29 @@ def test_cli_stats(spark, tmp_path, capsys):
     rc = cli.main(["stats", "--input", out_path, "--output", out_path])
     assert rc == 2
     capsys.readouterr()
+
+
+def test_cli_sketch(spark, capsys):
+    """sketch subcommand: HLL estimate + exact + Count-Min heavy hitters
+    over one column, one JSON line out; the HLL numbers must agree with
+    the operator's own driver-gate math."""
+    rc = cli.main(
+        [
+            "sketch",
+            "--input", "/root/testdata/sf0.001/events.parquet",
+            "--column", "user_id",
+            "--hh-threshold", "10",
+            "--hh-top", "5",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["exact_distinct"] > 0
+    assert abs(out["rel_err"]) < 0.15
+    assert out["hll_estimate"] == pytest.approx(
+        out["exact_distinct"] * (1 + out["rel_err"]), rel=1e-4
+    )
+    assert 1 <= len(out["heavy_hitters"]) <= 5
+    for hh in out["heavy_hitters"]:
+        assert hh["estimate"] >= hh["true_count"]
+        assert hh["estimate"] >= 10

@@ -76,6 +76,18 @@ STABLE_ROTATION = {
     "set_except",
     "agg_q1",
     "metrics_rollup",
+    # rotated later in round 4 to admit the sketch operators (hll_distinct /
+    # cms_heavy_hitters / bloom_fpr_audit): all three rotated rows are
+    # r3-driver-green map-only Column algebra whose shapes stay exercised
+    # in-window (repetition_stats tokenizes+aggregates, lang_id scores text,
+    # dedup_exact hashes content)
+    "token_counts",
+    "quality_scores",
+    "doc_fingerprints",
+    # rotated to admit span_stats (the input_hint span-invariant query);
+    # lang_id is r3-driver-green and its marker-scoring shape is exercised
+    # in-window by quality-adjacent queries
+    "lang_id",
 }
 
 

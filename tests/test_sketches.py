@@ -1,0 +1,189 @@
+"""Sketch operators: HyperLogLog, Count-Min, Bloom FPR audit.
+
+Each sketch is verified three ways: against an exact pure-Python
+recomputation of the same deterministic hash math (bit-for-bit), against
+its published guarantee (HLL error bound, CMS one-sided error, Bloom
+zero false negatives), and — via the contract — against the DuckDB SQL
+twin the driver's value-hash oracle runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from goprowl_spark.operators import sketches
+from goprowl_spark.operators.sketches import (
+    BLOOM_BITS,
+    BLOOM_K,
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HLL_M,
+    HLL_P,
+)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_hll_registers(values: list[str]) -> dict[int, int]:
+    regs: dict[int, int] = {}
+    w_bits = 60 - HLL_P
+    for v in values:
+        h = _h60(v)
+        idx = h >> w_bits
+        w = h & ((1 << w_bits) - 1)
+        rho = (w_bits + 1) if w == 0 else (w_bits + 1 - w.bit_length())
+        regs[idx] = max(regs.get(idx, 0), rho)
+    return regs
+
+
+KEYS = [f"key-{i}" for i in range(3000)]
+
+
+@pytest.fixture(scope="module")
+def keys_df(spark):
+    # duplicate every third key: HLL must count values, not rows
+    rows = [(k,) for k in KEYS] + [(k,) for k in KEYS[::3]]
+    return spark.createDataFrame(rows, "v string")
+
+
+class TestHLL:
+    def test_registers_match_python_recompute(self, spark, keys_df):
+        got = {
+            r["register"]: r["rho"]
+            for r in sketches.hll_registers(keys_df, "v").collect()
+        }
+        assert got == _py_hll_registers(KEYS)
+
+    def test_estimate_within_published_bound(self, spark, keys_df):
+        row = sketches.hll_distinct(keys_df, "v").collect()[0]
+        assert row["exact_distinct"] == len(KEYS)
+        # 1.04/sqrt(m) ~ 3.3% stderr; 4 sigma is a deterministic-data bound
+        assert abs(row["rel_err"]) < 4 * 1.04 / math.sqrt(HLL_M)
+        assert row["m"] == HLL_M
+        assert row["hll_estimate"] == pytest.approx(
+            row["exact_distinct"] * (1 + row["rel_err"]), rel=1e-4
+        )
+
+    def test_registers_merge_by_max(self, spark):
+        """sketch(A ∪ B) == MAX-merge(sketch(A), sketch(B)) — the property
+        that makes HLL the per-partition cardinality counter at scale."""
+        a = spark.createDataFrame([(k,) for k in KEYS[:1500]], "v string")
+        b = spark.createDataFrame([(k,) for k in KEYS[1000:]], "v string")
+        union = sketches.hll_registers(a.union(b), "v")
+        merged = (
+            sketches.hll_registers(a, "v")
+            .union(sketches.hll_registers(b, "v"))
+            .groupBy("register")
+            .agg(F.max("rho").alias("rho"))
+        )
+        assert sorted(map(tuple, union.collect())) == sorted(
+            map(tuple, merged.collect())
+        )
+
+    def test_small_range_linear_counting_branch(self, spark):
+        """A handful of values leaves most registers empty -> the estimate
+        must come from linear counting m*ln(m/V) and be near-exact."""
+        few = spark.createDataFrame([(f"x{i}",) for i in range(20)], "v string")
+        row = sketches.hll_distinct(few, "v").collect()[0]
+        v = row["n_zero_registers"]
+        assert v >= HLL_M - 20
+        assert row["hll_estimate"] == pytest.approx(
+            round(HLL_M * math.log(HLL_M / v), 6), abs=1e-6
+        )
+        assert abs(row["rel_err"]) < 0.05
+
+
+def _py_cms(values: list[str]) -> dict[tuple[int, int], int]:
+    cells: dict[tuple[int, int], int] = {}
+    for v in values:
+        for r in range(CMS_DEPTH):
+            c = _h60(f"cms{r}|{v}") % CMS_WIDTH
+            cells[(r, c)] = cells.get((r, c), 0) + 1
+    return cells
+
+
+class TestCMS:
+    @pytest.fixture(scope="class")
+    def freq_df(self, spark):
+        # key i appears i+1 times, 200 keys -> skewed multiset
+        rows = [(f"u{i}",) for i in range(200) for _ in range(i + 1)]
+        return spark.createDataFrame(rows, "v string")
+
+    def test_sketch_matches_python_recompute(self, spark, freq_df):
+        vals = [f"u{i}" for i in range(200) for _ in range(i + 1)]
+        got = {
+            (r["row"], r["col"]): r["cnt"]
+            for r in sketches.cms_sketch(freq_df, "v").collect()
+        }
+        assert got == _py_cms(vals)
+
+    def test_estimates_one_sided_and_complete(self, spark, freq_df):
+        out = sketches.cms_heavy_hitters(freq_df, "v", threshold=150).collect()
+        by_key = {r["key"]: r for r in out}
+        # one-sided error: estimate >= true for every reported key
+        assert all(r["cms_estimate"] >= r["true_count"] for r in out)
+        assert all(r["overcount"] == r["cms_estimate"] - r["true_count"] for r in out)
+        # completeness: every TRUE heavy hitter is reported (estimate >= true
+        # >= threshold can never be filtered out)
+        for i in range(149, 200):
+            assert f"u{i}" in by_key
+            assert by_key[f"u{i}"]["true_count"] == i + 1
+
+    def test_point_estimate_is_min_over_rows(self, spark, freq_df):
+        vals = [f"u{i}" for i in range(200) for _ in range(i + 1)]
+        cells = _py_cms(vals)
+        out = sketches.cms_heavy_hitters(freq_df, "v", threshold=150).collect()
+        for r in out:
+            expect = min(
+                cells[(d, _h60(f"cms{d}|{r['key']}") % CMS_WIDTH)]
+                for d in range(CMS_DEPTH)
+            )
+            assert r["cms_estimate"] == expect
+
+
+class TestBloom:
+    @pytest.fixture(scope="class")
+    def halves(self, spark):
+        build = spark.createDataFrame([(f"d{i}",) for i in range(0, 500, 2)], "k string")
+        probe = spark.createDataFrame([(f"d{i}",) for i in range(1, 500, 2)], "k string")
+        return build, probe
+
+    def test_no_false_negatives(self, spark, halves):
+        """Probing the build set itself: every key must hit all k bits —
+        the invariant the crawl's URL-seen filter depends on."""
+        build, _ = halves
+        out = sketches.bloom_fpr_audit(build, build, "k").collect()
+        assert len(out) == 250
+        assert all(r["n_bits_hit"] == BLOOM_K and r["false_positive"] == 1 for r in out)
+
+    def test_fpr_matches_python_recompute(self, spark, halves):
+        build, probe = halves
+        bits = {
+            _h60(f"bf{r}|d{i}") % BLOOM_BITS
+            for i in range(0, 500, 2)
+            for r in range(BLOOM_K)
+        }
+        expect = {}
+        for i in range(1, 500, 2):
+            hit = sum(
+                1
+                for r in range(BLOOM_K)
+                if _h60(f"bf{r}|d{i}") % BLOOM_BITS in bits
+            )
+            expect[f"d{i}"] = (hit, 1 if hit == BLOOM_K else 0)
+        got = {
+            r["key"]: (r["n_bits_hit"], r["false_positive"])
+            for r in sketches.bloom_fpr_audit(build, probe, "k").collect()
+        }
+        assert got == expect
+        # measured rate should sit near the (1-e^{-kn/m})^k theory line
+        n, m, k = 250, BLOOM_BITS, BLOOM_K
+        theory = (1 - math.exp(-k * n / m)) ** k
+        measured = sum(fp for _, fp in got.values()) / len(got)
+        assert abs(measured - theory) < 0.08

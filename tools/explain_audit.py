@@ -45,6 +45,17 @@ CHECKS = {
     # per-doc contamination: the duplicated tail is small by construction
     # and must arrive broadcast, never sort-merge-shuffled
     "doc_dup_window_frac": (["BroadcastHashJoin"], ["SortMergeJoin"]),
+    # sketches — HLL: pure aggregation cascade, never a join; the register
+    # shuffle is partial-aggregated (map-side max per register)
+    "hll_distinct": (["HashAggregate"], ["SortMergeJoin"]),
+    # CMS: the d*w-cell sketch must BROADCAST to the candidate lookups
+    "cms_heavy_hitters": (["BroadcastHashJoin"], ["SortMergeJoin"]),
+    # Bloom audit: the <=m-row bit table broadcasts; probes never shuffle
+    # into a sort-merge join
+    "bloom_fpr_audit": (["BroadcastHashJoin"], ["SortMergeJoin"]),
+    # span stats: Arrow parse UDF -> explode -> partial-agg cascade; the
+    # span table is never joined, only aggregated
+    "span_stats": (["HashAggregate"], ["Join"]),
 }
 
 
