@@ -877,6 +877,20 @@ def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key")
 
 
+def q_cuckoo_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo fingerprint-filter audit: the 'cuckoo' half of the north
+    rule's Bloom/cuckoo URL-seen filter. Deterministic kickless two-choice
+    placement over even doc_ids, probe the odd half; fingerprint matches
+    in either XOR-paired candidate bucket are the (one-sided) false
+    positives the fingerprint width is sized by."""
+    docs = _docs(spark, sf_dir)
+    return sketches.cuckoo_fpr_audit(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        "doc_id",
+    ).orderBy("key")
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality signal: mean token log-probability under the
     corpus's own unigram distribution (the CCNet-perplexity stand-in)."""
@@ -1836,6 +1850,10 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
         "SELECT doc_id AS key FROM documents WHERE doc_id % 2 = 0",
         "SELECT doc_id AS key FROM documents WHERE doc_id % 2 = 1",
     ),
+    "cuckoo_fpr_audit": sketches.cuckoo_fpr_audit_sql(
+        "SELECT doc_id AS key FROM documents WHERE doc_id % 2 = 0",
+        "SELECT doc_id AS key FROM documents WHERE doc_id % 2 = 1",
+    ),
     "repetition_stats": textstats.repetition_stats_sql("documents", "doc_id", "text"),
     "dup_windows": dedup.duplicated_windows_sql("documents", k=DUP_WINDOW_K),
     "doc_dup_window_frac": dedup.doc_dup_window_frac_sql("documents", k=DUP_WINDOW_K),
@@ -1872,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_fpr_audit": q_bloom_fpr_audit,
+        "cuckoo_fpr_audit": q_cuckoo_fpr_audit,
         "span_stats": q_span_stats,
     })
     qs.update({

@@ -34,7 +34,7 @@ Scale shapes (the reason sketches exist):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from goprowl_spark.operators.dedup import h60, h60_sql
@@ -343,6 +343,236 @@ def bloom_fpr_audit(
             "false_positive"
         ),
     )
+
+
+# ------------------------------------------------------------ Cuckoo audit
+CUCKOO_BUCKETS = 128  # power of two so b2 = b1 XOR h(fp) stays in range
+CUCKOO_CAP = 4  # entries per bucket
+CUCKOO_FP_MOD = 255  # 8-bit fingerprints in [1, 255]; 0 reserved for empty
+
+
+def _cuckoo_kick(fp: Column) -> Column:
+    """Bucket displacement derived from the fingerprint ALONE (partial-key
+    cuckoo hashing): b2 = b1 XOR kick(fp), so either bucket recovers the
+    other without the original key."""
+    return (h60(F.concat(F.lit("ca|"), fp.cast("string"))) % CUCKOO_BUCKETS).cast(
+        "int"
+    )
+
+
+def cuckoo_place(build_df: DataFrame, key_col: str) -> DataFrame:
+    """Deterministic two-choice cuckoo placement: (key, fp, b1, b2, slot).
+
+    The north rule names a "Bloom/cuckoo URL-seen filter"; this is the
+    cuckoo half's fingerprint table, in the *kickless* deterministic form
+    (Fan et al. 2014 partial-key cuckoo hashing, minus the random-walk
+    evictions — eviction order is execution-order-dependent, which would
+    make the placement irreproducible across engines; the seen-filter
+    backend in seen_filter.py carries the evicting variant, where a single
+    Python process per shard owns insertion order):
+
+    * fp(key)   = 8-bit fingerprint in [1, 255]
+    * b1(key)   = h60 % NB;  b2 = b1 XOR h60(fp) % NB (partial-key: b2 is
+      derivable from (b1, fp) alone — the property that makes deletion and
+      relocation possible without the original key)
+    * stage 1: every key tries b1; the first CAP per bucket (ordered by
+      key — the deterministic stand-in for arrival order) stay (slot=1)
+    * stage 2: the overflow tries b2 against that bucket's residual
+      capacity, same ordering (slot=2)
+    * the rest go to an exact stash (slot=0) — a production filter treats
+      stash pressure as its resize signal
+
+    Both stages are window ranks over the build side only; at 10^10 URLs
+    the filter shards by pmod(h60(key), n_shards) exactly like the Bloom
+    blobs in seen_filter.py, and each shard's windows stay bucket-local."""
+    key = F.col(key_col).cast("string")
+    fp = (h60(F.concat(F.lit("cf|"), key)) % CUCKOO_FP_MOD + 1).cast("int")
+    b1 = (h60(F.concat(F.lit("cb|"), key)) % CUCKOO_BUCKETS).cast("int")
+    base = build_df.select(
+        key.alias("key"), fp.alias("fp"), b1.alias("b1")
+    ).withColumn("b2", F.col("b1").bitwiseXOR(_cuckoo_kick(F.col("fp"))))
+
+    w1 = Window.partitionBy("b1").orderBy("key")
+    staged = base.withColumn("rn1", F.row_number().over(w1))
+    # primary arrivals per bucket (NOT capped): residual capacity for
+    # stage 2 is CAP - least(arrivals, CAP)
+    occ1 = (
+        staged.groupBy("b1")
+        .agg(F.least(F.count("*"), F.lit(CUCKOO_CAP)).alias("occ1"))
+        .withColumnRenamed("b1", "bucket")
+    )
+    overflow = staged.where(F.col("rn1") > CUCKOO_CAP).join(
+        F.broadcast(occ1), F.col("b2") == F.col("bucket"), "left"
+    )
+    w2 = Window.partitionBy("b2").orderBy("key")
+    overflow = overflow.withColumn("rn2", F.row_number().over(w2)).withColumn(
+        "cap2", F.lit(CUCKOO_CAP) - F.coalesce(F.col("occ1"), F.lit(0))
+    )
+    placed1 = staged.where(F.col("rn1") <= CUCKOO_CAP).select(
+        "key", "fp", "b1", "b2", F.lit(1).alias("slot")
+    )
+    rest = overflow.select(
+        "key",
+        "fp",
+        "b1",
+        "b2",
+        F.when(F.col("rn2") <= F.col("cap2"), 2).otherwise(0).alias("slot"),
+    )
+    return placed1.unionByName(rest).select(
+        "key", "fp", "b1", "b2", F.col("slot").cast("int").alias("slot")
+    )
+
+
+def cuckoo_probe(
+    build_df: DataFrame, probe_df: DataFrame, key_col: str
+) -> DataFrame:
+    """Probe the cuckoo table: per probe key (key, fp_hits, in_stash,
+    maybe_present). fp_hits counts placed entries sharing the probe's
+    fingerprint in either candidate bucket; stash keys match exactly.
+    maybe_present=0 for an inserted key is impossible (its own entry is
+    in one of its buckets or the stash) — the zero-false-negative
+    property tests pin.
+
+    Plan shape: the entry table is <= NB*CAP rows and the stash is the
+    overflow tail -> both BROADCAST; probes are map-only plus the two
+    broadcast joins, never shuffled — the same probe-side discipline as
+    bloom_fpr_audit."""
+    placement = cuckoo_place(build_df, key_col)
+    entries = placement.where(F.col("slot") > 0).select(
+        F.when(F.col("slot") == 1, F.col("b1"))
+        .otherwise(F.col("b2"))
+        .alias("bucket"),
+        F.col("fp").alias("efp"),
+    )
+    stash = placement.where(F.col("slot") == 0).select(
+        F.col("key").alias("skey"), F.lit(1).alias("stash_hit")
+    )
+
+    key = F.col(key_col).cast("string")
+    fp = (h60(F.concat(F.lit("cf|"), key)) % CUCKOO_FP_MOD + 1).cast("int")
+    b1 = (h60(F.concat(F.lit("cb|"), key)) % CUCKOO_BUCKETS).cast("int")
+    probes = probe_df.select(
+        key.alias("key"), fp.alias("fp"), b1.alias("b1")
+    ).withColumn("b2", F.col("b1").bitwiseXOR(_cuckoo_kick(F.col("fp"))))
+    # distinct candidate buckets (b1 may equal b2 when the kick lands on 0)
+    cands = probes.select(
+        "key", "fp", F.explode(F.array_distinct(F.array("b1", "b2"))).alias("bucket")
+    )
+    hits = cands.join(
+        F.broadcast(entries.withColumnRenamed("bucket", "ebucket")),
+        (F.col("bucket") == F.col("ebucket")) & (F.col("fp") == F.col("efp")),
+        "left",
+    )
+    per_key = hits.groupBy("key").agg(
+        F.sum(F.when(F.col("efp").isNotNull(), 1).otherwise(0)).alias("fp_hits")
+    )
+    return (
+        per_key.join(F.broadcast(stash), F.col("key") == F.col("skey"), "left")
+        .select(
+            "key",
+            F.col("fp_hits").cast("long").alias("fp_hits"),
+            F.coalesce(F.col("stash_hit"), F.lit(0)).cast("int").alias("in_stash"),
+            F.when((F.col("fp_hits") > 0) | F.col("stash_hit").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("maybe_present"),
+        )
+    )
+
+
+def cuckoo_fpr_audit(
+    build_df: DataFrame, probe_df: DataFrame, key_col: str
+) -> DataFrame:
+    """False-positive audit of the cuckoo fingerprint table: probe with
+    keys disjoint from the build set; any maybe_present is a false
+    positive (expected rate ~ 2*CAP/2^f when buckets run full — the
+    fingerprint-width sizing rule for the URL-seen filter, vs the Bloom
+    (1-e^{-kn/m})^k law next door)."""
+    p = cuckoo_probe(build_df, probe_df, key_col)
+    return p.select(
+        "key",
+        "fp_hits",
+        "in_stash",
+        F.col("maybe_present").alias("false_positive"),
+    )
+
+
+def cuckoo_fpr_audit_sql(build_select: str, probe_select: str) -> str:
+    """DuckDB twin: same fingerprints, same XOR bucket pair, same two
+    window-ranked placement stages, same broadcast-shaped probe joins."""
+    nb, cap, fpm = CUCKOO_BUCKETS, CUCKOO_CAP, CUCKOO_FP_MOD
+
+    def fp(col: str) -> str:
+        tagged = f"'cf|' || CAST({col} AS VARCHAR)"
+        return f"({h60_sql(tagged)} % {fpm} + 1)"
+
+    def b1(col: str) -> str:
+        tagged = f"'cb|' || CAST({col} AS VARCHAR)"
+        return f"({h60_sql(tagged)} % {nb})"
+
+    kick_tag = "'ca|' || CAST(fp AS VARCHAR)"
+    kick = f"({h60_sql(kick_tag)} % {nb})"
+    return f"""
+WITH build AS ({build_select}),
+probe AS ({probe_select}),
+base AS (
+  SELECT CAST(key AS VARCHAR) AS key,
+         CAST({fp('key')} AS INT) AS fp,
+         CAST({b1('key')} AS INT) AS b1
+  FROM build
+),
+based AS (
+  SELECT key, fp, b1, CAST(xor(b1, {kick}) AS INT) AS b2,
+         ROW_NUMBER() OVER (PARTITION BY b1 ORDER BY key) AS rn1
+  FROM base
+),
+occ1 AS (
+  SELECT b1 AS bucket, LEAST(count(*), {cap}) AS occ1 FROM based GROUP BY b1
+),
+overflow AS (
+  SELECT o.key, o.fp, o.b1, o.b2,
+         ROW_NUMBER() OVER (PARTITION BY o.b2 ORDER BY o.key) AS rn2,
+         {cap} - COALESCE(c.occ1, 0) AS cap2
+  FROM based o LEFT JOIN occ1 c ON o.b2 = c.bucket
+  WHERE o.rn1 > {cap}
+),
+entries AS (
+  SELECT b1 AS bucket, fp AS efp FROM based WHERE rn1 <= {cap}
+  UNION ALL
+  SELECT b2 AS bucket, fp AS efp FROM overflow WHERE rn2 <= cap2
+),
+stash AS (SELECT key AS skey FROM overflow WHERE rn2 > cap2),
+pbase AS (
+  SELECT CAST(key AS VARCHAR) AS key,
+         CAST({fp('key')} AS INT) AS fp,
+         CAST({b1('key')} AS INT) AS b1
+  FROM probe
+),
+pboth AS (
+  SELECT key, fp, b1, CAST(xor(b1, {kick}) AS INT) AS b2 FROM pbase
+),
+cands AS (
+  SELECT DISTINCT key, fp, bucket FROM (
+    SELECT key, fp, b1 AS bucket FROM pboth
+    UNION ALL
+    SELECT key, fp, b2 AS bucket FROM pboth
+  )
+),
+hits AS (
+  SELECT c.key,
+         CAST(sum(CASE WHEN e.efp IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS fp_hits
+  FROM cands c
+  LEFT JOIN entries e ON c.bucket = e.bucket AND c.fp = e.efp
+  GROUP BY c.key
+)
+SELECT h.key, h.fp_hits,
+       CAST(CASE WHEN s.skey IS NULL THEN 0 ELSE 1 END AS INT) AS in_stash,
+       CAST(CASE WHEN h.fp_hits > 0 OR s.skey IS NOT NULL THEN 1 ELSE 0 END
+            AS INT) AS false_positive
+FROM hits h LEFT JOIN stash s ON h.key = s.skey
+ORDER BY h.key
+"""
 
 
 def bloom_fpr_audit_sql(

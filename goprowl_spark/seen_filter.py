@@ -1,4 +1,4 @@
-"""Partitioned Bloom URL-seen filter (the core scale op of the graft).
+"""Partitioned Bloom/cuckoo URL-seen filter (the core scale op of the graft).
 
 Reference behavior: colly's in-heap exact visited-set (the ``Visit`` skip
 path, search/crawlers/colly.go:92-97). An exact in-memory set caps out on
@@ -281,25 +281,383 @@ def probe_and_update(
     )
 
 
+# --------------------------------------------------------------------------
+# Cuckoo-filter backend (the "cuckoo" alternative the north rule names).
+#
+# Same sharding and delta-generation contract as the Bloom blobs (one blob
+# row per outer bucket, latest gen wins), different blob payload:
+#
+#   header  uint64[3]: [inner_buckets, slot_cap, stash_len]
+#   table   uint16[inner_buckets * slot_cap]  (0 = empty slot)
+#   stash   uint64[stash_len]  (canonical (min_bucket << 16 | fp) overflow)
+#
+# Why a second backend: a Bloom bit-array cannot DELETE (clearing a bit
+# un-sees every URL sharing it), so recrawl/expiry — "this URL's content
+# aged out, fetch it again" — forces a full filter rebuild. A cuckoo
+# filter stores per-entry fingerprints, so delete_cuckoos removes exactly
+# one entry. Same 128 KiB per shard as the default Bloom blob
+# (16384 buckets x 4 slots x 2 bytes) at a ~0.01% fingerprint FPR.
+#
+# Vectorization discipline (input_hint: no per-row Python): probe is pure
+# numpy (gather + compare); insert places the bulk with two vectorized
+# choice passes and walks ONLY the contended tail (both candidate buckets
+# full) through the classic eviction loop — deterministic victim, bounded
+# kicks, exact stash fallback. Membership is preserved by every
+# relocation, so zero-false-negatives holds at ANY load; the stash is the
+# resize signal a production deployment monitors.
+
+CUCKOO_INNER_BUCKETS = 1 << 14  # per shard; power of two for the XOR pair
+CUCKOO_SLOT_CAP = 4
+CUCKOO_MAX_KICKS = 250
+_CUCKOO_HDR = 3  # uint64 header words
+
+
+def _cuckoo_parts(h: np.ndarray, nb: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(fp, b1, b2) for int64 url hashes: 16-bit fingerprint from the top
+    bits (never 0), partial-key XOR bucket pair from the low bits."""
+    u = h.astype(np.uint64)
+    fp = (u >> np.uint64(48)).astype(np.uint16)
+    fp = np.where(fp == 0, np.uint16(1), fp)
+    b1 = (u & np.uint64(nb - 1)).astype(np.int64)
+    kick = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & np.uint64(nb - 1)
+    b2 = (b1.astype(np.uint64) ^ kick).astype(np.int64)
+    return fp, b1, b2
+
+
+def _cuckoo_canon(fp: np.ndarray, b1: np.ndarray, b2: np.ndarray) -> np.ndarray:
+    """Canonical stash key: (min candidate bucket << 16) | fp — derivable
+    from either bucket via the XOR pair, so probe and delete agree."""
+    lo = np.minimum(b1, b2).astype(np.uint64)
+    return (lo << np.uint64(16)) | fp.astype(np.uint64)
+
+
+def _cuckoo_empty(nb: int, cap: int) -> tuple[np.ndarray, np.ndarray]:
+    return np.zeros(nb * cap, dtype=np.uint16), np.zeros(0, dtype=np.uint64)
+
+
+def _cuckoo_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray, int, int]:
+    hdr = np.frombuffer(blob, dtype=np.uint64, count=_CUCKOO_HDR)
+    nb, cap, stash_len = int(hdr[0]), int(hdr[1]), int(hdr[2])
+    off = _CUCKOO_HDR * 8
+    table = np.frombuffer(blob, dtype=np.uint16, count=nb * cap, offset=off).copy()
+    off += nb * cap * 2
+    stash = np.frombuffer(blob, dtype=np.uint64, count=stash_len, offset=off).copy()
+    return table, stash, nb, cap
+
+
+def _cuckoo_encode(table: np.ndarray, stash: np.ndarray, nb: int, cap: int) -> bytes:
+    hdr = np.array([nb, cap, len(stash)], dtype=np.uint64)
+    return hdr.tobytes() + table.tobytes() + stash.tobytes()
+
+
+def _cuckoo_contains(
+    table: np.ndarray, stash: np.ndarray, nb: int, cap: int, h: np.ndarray
+) -> np.ndarray:
+    """Vectorized membership: fingerprint in either candidate bucket, or
+    canonical key in the stash."""
+    if len(h) == 0:
+        return np.zeros(0, dtype=bool)
+    fp, b1, b2 = _cuckoo_parts(h, nb)
+    t = table.reshape(nb, cap)
+    hit1 = (t[b1] == fp[:, None]).any(axis=1)
+    hit2 = (t[b2] == fp[:, None]).any(axis=1)
+    out = hit1 | hit2
+    if len(stash):
+        out |= np.isin(_cuckoo_canon(fp, b1, b2), stash)
+    return out
+
+
+def _place_bulk(
+    table2d: np.ndarray, buckets: np.ndarray, fps: np.ndarray
+) -> np.ndarray:
+    """One vectorized choice pass: for entries grouped by target bucket
+    (in input order), fill that bucket's free slots first-come. Returns a
+    boolean placed mask. Free slots per bucket and within-group ranks are
+    all numpy; nothing touches Python per entry."""
+    if len(buckets) == 0:
+        return np.zeros(0, dtype=bool)
+    cap = table2d.shape[1]
+    order = np.argsort(buckets, kind="stable")
+    sb = buckets[order]
+    # rank of each entry within its bucket group
+    first = np.concatenate(([True], sb[1:] != sb[:-1]))
+    grp_start = np.flatnonzero(first)
+    ranks = np.arange(len(sb)) - np.repeat(grp_start, np.diff(np.append(grp_start, len(sb))))
+    free = (table2d[sb] == 0).sum(axis=1)
+    placed_sorted = ranks < free
+    # write the placed fingerprints: for each placed entry, the target slot
+    # is the (slot_rank)-th free slot of its bucket
+    pb, pf = sb[placed_sorted], fps[order][placed_sorted]
+    pr = ranks[placed_sorted]
+    if len(pb):
+        free_slots = table2d[pb] == 0
+        # index of the pr-th free slot per row: cumulative count of free
+        # slots per row, find first position where cumsum > pr
+        cum = free_slots.cumsum(axis=1)
+        slot = (cum <= pr[:, None]).sum(axis=1)
+        table2d[pb, slot] = pf
+    placed = np.zeros(len(buckets), dtype=bool)
+    placed[order] = placed_sorted
+    return placed
+
+
+def _cuckoo_insert(
+    table: np.ndarray, stash: np.ndarray, nb: int, cap: int, h: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Insert hashes (skipping ones already maybe-present — a member's
+    re-insert is a no-op, mirroring Bloom re-set semantics, and a
+    false-positive skip is harmless because the matching fingerprint
+    keeps answering every future probe). Returns (table, stash,
+    n_inserted)."""
+    h = np.unique(h)
+    fresh = ~_cuckoo_contains(table, stash, nb, cap, h)
+    h = h[fresh]
+    if len(h) == 0:
+        return table, stash, 0
+    fp, b1, b2 = _cuckoo_parts(h, nb)
+    t = table.reshape(nb, cap)
+    placed1 = _place_bulk(t, b1, fp)
+    r = ~placed1
+    placed2 = np.zeros(len(h), dtype=bool)
+    if r.any():
+        placed2_sub = _place_bulk(t, b2[r], fp[r])
+        placed2[np.flatnonzero(r)[placed2_sub]] = True
+    rest = ~(placed1 | placed2)
+    new_stash = []
+    if rest.any():
+        # eviction walk, contended tail only: deterministic victim slot
+        # (kick count mod cap), membership preserved at every step
+        for i in np.flatnonzero(rest):
+            cur_fp, cur_b = int(fp[i]), int(b1[i])
+            parked = False
+            for kicks in range(CUCKOO_MAX_KICKS):
+                row = t[cur_b]
+                empty = np.flatnonzero(row == 0)
+                if len(empty):
+                    row[empty[0]] = cur_fp
+                    parked = True
+                    break
+                victim_slot = kicks % cap
+                victim_fp = int(row[victim_slot])
+                row[victim_slot] = cur_fp
+                vkick = (victim_fp * 0x5BD1E995) & (nb - 1)
+                cur_fp, cur_b = victim_fp, cur_b ^ vkick
+            if not parked:
+                # stash the fp the walk is still holding (canonical form)
+                alt = cur_b ^ ((cur_fp * 0x5BD1E995) & (nb - 1))
+                canon = (min(cur_b, alt) << 16) | cur_fp
+                new_stash.append(canon)
+    if new_stash:
+        stash = np.concatenate([stash, np.array(new_stash, dtype=np.uint64)])
+    return table, stash, int(len(h))
+
+
+def _cuckoo_delete(
+    table: np.ndarray, stash: np.ndarray, nb: int, cap: int, h: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Remove one entry per hash (the operation Bloom cannot do). The
+    member test is vectorized; only actual removals touch Python, and a
+    delete batch is a maintenance op (recrawl/expiry), not the hot path.
+    Deleting a non-member is a no-op (standard cuckoo caveat: only delete
+    what was inserted)."""
+    h = np.unique(h)
+    member = _cuckoo_contains(table, stash, nb, cap, h)
+    h = h[member]
+    if len(h) == 0:
+        return table, stash, 0
+    fp, b1, b2 = _cuckoo_parts(h, nb)
+    canon = _cuckoo_canon(fp, b1, b2)
+    t = table.reshape(nb, cap)
+    removed = 0
+    stash_list = stash.tolist()
+    for i in range(len(h)):
+        hit = False
+        for b in (int(b1[i]), int(b2[i])):
+            slots = np.flatnonzero(t[b] == fp[i])
+            if len(slots):
+                t[b, slots[0]] = 0
+                hit = True
+                break
+        if not hit and canon[i] in stash_list:
+            stash_list.remove(canon[i])
+            hit = True
+        removed += int(hit)
+    return table, np.array(stash_list, dtype=np.uint64), removed
+
+
+def update_cuckoos(
+    seen_cuckoo: DataFrame,
+    new_hashes: DataFrame,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    inner_buckets: int = CUCKOO_INNER_BUCKETS,
+    slot_cap: int = CUCKOO_SLOT_CAP,
+    gen: int = 0,
+    emit_untouched: bool = True,
+) -> DataFrame:
+    """Cuckoo twin of update_blooms: same SEEN_BLOOM schema, same
+    delta-generation contract (emit_untouched=False appends only touched
+    shards, latest gen wins on read). n_items counts live entries
+    (inserts minus deletes), an exact count — unlike the Bloom blob's
+    insert upper bound — because fingerprints are individually stored."""
+
+    hashed = new_hashes.select(
+        F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        "url_hash",
+    )
+
+    def merge(key, blobs: pd.DataFrame, hashes: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "bucket": pd.Series([], dtype="int32"),
+                "filter_blob": pd.Series([], dtype=object),
+                "n_items": pd.Series([], dtype="int64"),
+                "gen": pd.Series([], dtype="int32"),
+            }
+        )
+        if hashes.empty and not (emit_untouched and not blobs.empty):
+            return empty
+        if blobs.empty:
+            table, stash = _cuckoo_empty(inner_buckets, slot_cap)
+            n = 0
+        else:
+            blob, n = _latest_blob(blobs)
+            table, stash, _, _ = _cuckoo_decode(blob.tobytes())
+        arr = hashes["url_hash"].to_numpy(dtype=np.int64)
+        ins = 0
+        if len(arr):
+            table, stash, ins = _cuckoo_insert(
+                table, stash, inner_buckets, slot_cap, arr
+            )
+        return pd.DataFrame(
+            {
+                "bucket": [key[0]],
+                "filter_blob": [_cuckoo_encode(table, stash, inner_buckets, slot_cap)],
+                "n_items": [n + ins],
+                "gen": [gen],
+            }
+        )
+
+    return (
+        seen_cuckoo.groupBy("bucket")
+        .cogroup(hashed.groupBy("bucket"))
+        .applyInPandas(merge, schema=schemas.SEEN_BLOOM)
+    )
+
+
+def delete_cuckoos(
+    seen_cuckoo: DataFrame,
+    del_hashes: DataFrame,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    inner_buckets: int = CUCKOO_INNER_BUCKETS,
+    slot_cap: int = CUCKOO_SLOT_CAP,
+    gen: int = 0,
+) -> DataFrame:
+    """Remove url hashes from their shard's filter — the recrawl/expiry
+    path. Emits only touched shards stamped ``gen`` (append, latest wins),
+    exactly like a delta update round."""
+    hashed = del_hashes.select(
+        F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        "url_hash",
+    )
+
+    def merge(key, blobs: pd.DataFrame, hashes: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "bucket": pd.Series([], dtype="int32"),
+                "filter_blob": pd.Series([], dtype=object),
+                "n_items": pd.Series([], dtype="int64"),
+                "gen": pd.Series([], dtype="int32"),
+            }
+        )
+        if hashes.empty or blobs.empty:
+            return empty
+        blob, n = _latest_blob(blobs)
+        table, stash, _, _ = _cuckoo_decode(blob.tobytes())
+        arr = hashes["url_hash"].to_numpy(dtype=np.int64)
+        table, stash, removed = _cuckoo_delete(
+            table, stash, inner_buckets, slot_cap, arr
+        )
+        return pd.DataFrame(
+            {
+                "bucket": [key[0]],
+                "filter_blob": [_cuckoo_encode(table, stash, inner_buckets, slot_cap)],
+                "n_items": [n - removed],
+                "gen": [gen],
+            }
+        )
+
+    return (
+        seen_cuckoo.groupBy("bucket")
+        .cogroup(hashed.groupBy("bucket"))
+        .applyInPandas(merge, schema=schemas.SEEN_BLOOM)
+    )
+
+
+def probe_cuckoos(
+    candidates: DataFrame,
+    seen_cuckoo: DataFrame,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Cuckoo twin of probe_blooms: candidates(+url_hash) → + maybe_seen.
+    maybe_seen=False is definitive (membership preserved through every
+    relocation + exact stash); True rows take the exact anti-join."""
+    cols = candidates.columns
+    with_bucket = candidates.withColumn(
+        "__bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
+    )
+    out_schema = T.StructType(
+        list(with_bucket.schema.fields)
+        + [T.StructField("maybe_seen", T.BooleanType(), False)]
+    )
+
+    def probe(key, cand: pd.DataFrame, blobs: pd.DataFrame) -> pd.DataFrame:
+        if cand.empty:
+            return cand.assign(maybe_seen=pd.Series([], dtype=bool))
+        if blobs.empty:
+            return cand.assign(maybe_seen=False)
+        blob, _ = _latest_blob(blobs)
+        table, stash, nb, cap = _cuckoo_decode(blob.tobytes())
+        arr = cand["url_hash"].to_numpy(dtype=np.int64)
+        return cand.assign(
+            maybe_seen=_cuckoo_contains(table, stash, nb, cap, arr)
+        )
+
+    probed = (
+        with_bucket.groupBy("__bucket")
+        .cogroup(seen_cuckoo.groupBy("bucket"))
+        .applyInPandas(probe, schema=out_schema)
+    )
+    return probed.select(*cols, "maybe_seen")
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
     seen_bloom: DataFrame | None,
     n_buckets: int = DEFAULT_N_BUCKETS,
     bits_per_bucket: int = DEFAULT_BITS_PER_BUCKET,
+    kind: str = "bloom",
 ) -> DataFrame:
     """The dedup-visited operator (P4/J1): candidates not yet in the seen set.
 
-    With a Bloom table: definitely-new rows bypass the join; maybe-seen rows
+    With a filter table: definitely-new rows bypass the join; maybe-seen rows
     take the exact left-anti join (on the already-computed 64-bit hash, with
-    url equality re-check to make hash collisions harmless).
+    url equality re-check to make hash collisions harmless). ``kind``
+    selects the probe backend for ``seen_bloom``: "bloom" (bit-array blobs,
+    update_blooms) or "cuckoo" (fingerprint tables, update_cuckoos —
+    supports deletion for recrawl/expiry).
 
     ``n_buckets``/``bits_per_bucket`` MUST match the parameters the blobs
     were built with (update_blooms) — a mismatch mis-addresses buckets/bits
-    and silently breaks the no-false-negative invariant.
+    and silently breaks the no-false-negative invariant. (The cuckoo blob
+    self-describes its inner geometry in its header, so only ``n_buckets``
+    must agree.)
     """
     if seen_bloom is not None:
-        probed = probe_blooms(candidates, seen_bloom, n_buckets, bits_per_bucket)
+        if kind == "cuckoo":
+            probed = probe_cuckoos(candidates, seen_bloom, n_buckets)
+        else:
+            probed = probe_blooms(candidates, seen_bloom, n_buckets, bits_per_bucket)
         fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
         survivors = maybe.join(seen, on=["url_hash", "url"], how="left_anti")

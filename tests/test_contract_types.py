@@ -88,6 +88,11 @@ STABLE_ROTATION = {
     # lang_id is r3-driver-green and its marker-scoring shape is exercised
     # in-window by quality-adjacent queries
     "lang_id",
+    # rotated to admit cuckoo_fpr_audit (the cuckoo half of the north
+    # rule's Bloom/cuckoo seen filter); feature_hash_embed is
+    # r3-driver-green and its hashing-trick shape feeds the in-window
+    # embedding queries (emb_* all consume the same h60 machinery)
+    "feature_hash_embed",
 }
 
 

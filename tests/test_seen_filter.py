@@ -120,3 +120,123 @@ def test_update_blooms_full_merge_keeps_untouched_buckets(spark):
         _urls(spark, 0, 1005), b2, bits_per_bucket=1 << 14
     )
     assert probed.where(~F.col("maybe_seen")).count() == 0
+
+
+# ---------------------------------------------------------------- cuckoo
+# The cuckoo backend: same shard/delta contract, per-entry fingerprints.
+# What Bloom cannot do — and these tests pin — is DELETE (recrawl/expiry).
+
+
+def test_cuckoo_no_false_negatives(spark):
+    seen = _urls(spark, 0, 5000)
+    empty = spark.createDataFrame([], seen_filter.schemas.SEEN_BLOOM)
+    cf = seen_filter.update_cuckoos(empty, seen)
+    probed = seen_filter.probe_cuckoos(seen, cf)
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_cuckoo_fpr_small(spark):
+    seen = _urls(spark, 0, 5000)
+    empty = spark.createDataFrame([], seen_filter.schemas.SEEN_BLOOM)
+    cf = seen_filter.update_cuckoos(empty, seen)
+    probed = seen_filter.probe_cuckoos(_urls(spark, 10_000, 20_000), cf)
+    fp = probed.where(F.col("maybe_seen")).count()
+    # 16-bit fingerprints at ~1% shard load: expected FPR ~ 2*4/65536
+    assert fp / 10_000 < 0.01
+
+
+def test_cuckoo_incremental_update_exact_count(spark):
+    a = _urls(spark, 0, 1000)
+    b = _urls(spark, 1000, 2000)
+    empty = spark.createDataFrame([], seen_filter.schemas.SEEN_BLOOM)
+    cf = seen_filter.update_cuckoos(empty, a)
+    cf = seen_filter.update_cuckoos(cf, b)
+    probed = seen_filter.probe_cuckoos(a.unionByName(b), cf)
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+    # n_items is EXACT for the cuckoo table (per-entry storage), and a
+    # member's re-insert is a no-op: inserting a again must not change it
+    assert cf.agg(F.sum("n_items")).collect()[0][0] == 2000
+    cf2 = seen_filter.update_cuckoos(cf, a)
+    assert cf2.agg(F.sum("n_items")).collect()[0][0] == 2000
+
+
+def test_cuckoo_delete_unsees_and_allows_reinsert(spark):
+    a = _urls(spark, 0, 1000)
+    b = _urls(spark, 1000, 2000)
+    empty = spark.createDataFrame([], seen_filter.schemas.SEEN_BLOOM)
+    cf = seen_filter.update_cuckoos(empty, a.unionByName(b), gen=0)
+    delta = seen_filter.delete_cuckoos(cf, b, gen=1)
+    merged = cf.unionByName(delta)
+    # kept members still present (zero false negatives survives deletion)
+    assert seen_filter.probe_cuckoos(a, merged).where(
+        ~F.col("maybe_seen")
+    ).count() == 0
+    # deleted urls now probe unseen (rare fingerprint collisions with the
+    # 1000 kept entries aside — at 16-bit fps expect ~0)
+    still = seen_filter.probe_cuckoos(b, merged).where(F.col("maybe_seen")).count()
+    assert still / 1000 < 0.01
+    # latest-gen n_items across shards: exactly the 1000 kept entries
+    assert merged.groupBy("bucket").agg(
+        F.max_by("n_items", "gen").alias("n")
+    ).agg(F.sum("n")).collect()[0][0] == 1000
+    # re-inserting the deleted range sees them again
+    cf3 = seen_filter.update_cuckoos(merged, b, gen=2, emit_untouched=False)
+    reprobe = seen_filter.probe_cuckoos(b, merged.unionByName(cf3))
+    assert reprobe.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_cuckoo_eviction_and_stash_under_overload(spark):
+    """Force the contended path: 16 inner buckets x 4 slots = 64 slots per
+    shard, ~80 entries per shard -> placement must evict and then stash,
+    and zero-false-negatives must hold throughout (the stash is exact)."""
+    seen = _urls(spark, 0, 5000)
+    empty = spark.createDataFrame([], seen_filter.schemas.SEEN_BLOOM)
+    cf = seen_filter.update_cuckoos(empty, seen, inner_buckets=16, slot_cap=4)
+    probed = seen_filter.probe_cuckoos(seen, cf)
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+    # overload must have engaged the stash in at least one shard: decode
+    # headers and check total stashed entries > 0
+    import numpy as np
+
+    blobs = cf.select("filter_blob").collect()
+    stashed = sum(
+        int(np.frombuffer(r["filter_blob"], dtype=np.uint64, count=3)[2])
+        for r in blobs
+    )
+    assert stashed > 0
+    assert cf.agg(F.sum("n_items")).collect()[0][0] == 5000
+
+
+def test_cuckoo_blob_deterministic(spark):
+    seen = _urls(spark, 0, 2000)
+    empty = spark.createDataFrame([], seen_filter.schemas.SEEN_BLOOM)
+    b1 = {
+        r["bucket"]: bytes(r["filter_blob"])
+        for r in seen_filter.update_cuckoos(empty, seen).collect()
+    }
+    b2 = {
+        r["bucket"]: bytes(r["filter_blob"])
+        for r in seen_filter.update_cuckoos(empty, seen).collect()
+    }
+    assert b1 == b2
+
+
+def test_filter_unseen_cuckoo_equals_exact_antijoin(spark):
+    seen_urls = _urls(spark, 0, 3000)
+    seen = seen_urls.select(
+        "url_hash", "url", F.lit(1).alias("depth"), F.lit(0).alias("first_seen_round")
+    )
+    empty = spark.createDataFrame([], seen_filter.schemas.SEEN_BLOOM)
+    cf = seen_filter.update_cuckoos(empty, seen_urls)
+    candidates = _urls(spark, 2000, 6000)
+    with_cf = {
+        r["url"]
+        for r in seen_filter.filter_unseen(
+            candidates, seen, cf, kind="cuckoo"
+        ).collect()
+    }
+    exact = {
+        r["url"] for r in seen_filter.filter_unseen(candidates, seen, None).collect()
+    }
+    assert with_cf == exact
+    assert len(exact) == 3000

@@ -187,3 +187,114 @@ class TestBloom:
         theory = (1 - math.exp(-k * n / m)) ** k
         measured = sum(fp for _, fp in got.values()) / len(got)
         assert abs(measured - theory) < 0.08
+
+
+def _py_cuckoo_place(keys: list[str]) -> dict[str, tuple[int, int, int, int]]:
+    """Pure-Python twin of sketches.cuckoo_place: key -> (fp, b1, b2, slot)."""
+    nb, cap, fpm = (
+        sketches.CUCKOO_BUCKETS,
+        sketches.CUCKOO_CAP,
+        sketches.CUCKOO_FP_MOD,
+    )
+    rows = []
+    for k in keys:
+        fp = _h60(f"cf|{k}") % fpm + 1
+        b1 = _h60(f"cb|{k}") % nb
+        b2 = b1 ^ (_h60(f"ca|{fp}") % nb)
+        rows.append((k, fp, b1, b2))
+    placed: dict[str, tuple[int, int, int, int]] = {}
+    occ1: dict[int, int] = {}
+    overflow = []
+    for k, fp, b1, b2 in sorted(rows):  # stage 1 in key order per bucket
+        seen_in_b1 = occ1.get(b1, 0)
+        if seen_in_b1 < cap:
+            occ1[b1] = seen_in_b1 + 1
+            placed[k] = (fp, b1, b2, 1)
+        else:
+            overflow.append((k, fp, b1, b2))
+    # stage 2: residual capacity = cap - primary placements
+    occ2: dict[int, int] = {}
+    for k, fp, b1, b2 in sorted(overflow):
+        cap2 = cap - min(occ1.get(b2, 0), cap)
+        used = occ2.get(b2, 0)
+        if used < cap2:
+            occ2[b2] = used + 1
+            placed[k] = (fp, b1, b2, 2)
+        else:
+            placed[k] = (fp, b1, b2, 0)
+    return placed
+
+
+class TestCuckoo:
+    @pytest.fixture(scope="class")
+    def halves(self, spark):
+        build = spark.createDataFrame(
+            [(f"d{i}",) for i in range(0, 500, 2)], "k string"
+        )
+        probe = spark.createDataFrame(
+            [(f"d{i}",) for i in range(1, 500, 2)], "k string"
+        )
+        return build, probe
+
+    def test_placement_matches_python_twin(self, spark, halves):
+        build, _ = halves
+        got = {
+            r["key"]: (r["fp"], r["b1"], r["b2"], r["slot"])
+            for r in sketches.cuckoo_place(build, "k").collect()
+        }
+        assert got == _py_cuckoo_place([f"d{i}" for i in range(0, 500, 2)])
+
+    def test_no_false_negatives(self, spark, halves):
+        """Probing the build set itself: every inserted key must be
+        maybe_present — placed keys match their own fingerprint; stashed
+        keys match the exact stash."""
+        build, _ = halves
+        out = sketches.cuckoo_probe(build, build, "k").collect()
+        assert len(out) == 250
+        assert all(r["maybe_present"] == 1 for r in out)
+
+    def test_stash_engages_past_capacity_and_stays_exact(self, spark):
+        """Overload the table (700 keys > 512 slots): the kickless
+        placement must stash the overflow, and stashed keys must still
+        probe present (exact match, zero false negatives under overload)."""
+        keys = [f"s{i}" for i in range(700)]
+        build = spark.createDataFrame([(k,) for k in keys], "k string")
+        placement = sketches.cuckoo_place(build, "k").collect()
+        slots = {r["key"]: r["slot"] for r in placement}
+        n_stash = sum(1 for s in slots.values() if s == 0)
+        assert n_stash >= 700 - sketches.CUCKOO_BUCKETS * sketches.CUCKOO_CAP
+        assert n_stash == sum(
+            1 for v in _py_cuckoo_place(keys).values() if v[3] == 0
+        )
+        out = sketches.cuckoo_probe(build, build, "k").collect()
+        assert all(r["maybe_present"] == 1 for r in out)
+        by_key = {r["key"]: r for r in out}
+        for k, s in slots.items():
+            if s == 0:
+                assert by_key[k]["in_stash"] == 1
+
+    def test_fpr_near_fingerprint_theory(self, spark, halves):
+        """Disjoint probes: FP rate ~ 1-(1-1/fpm)^(occupancy of 2 buckets);
+        with ~2 entries/bucket that's ~4/255 ~ 1.6%. Assert the measured
+        rate is small and every FP really collides on a fingerprint."""
+        build, probe = halves
+        out = sketches.cuckoo_fpr_audit(build, probe, "k").collect()
+        n_fp = sum(r["false_positive"] for r in out)
+        assert n_fp / len(out) < 0.10
+        assert all(
+            (r["false_positive"] == 1) == (r["fp_hits"] > 0 or r["in_stash"] == 1)
+            for r in out
+        )
+
+    def test_partial_key_property(self):
+        """b2 is derivable from (b1, fp) alone — and the relation is an
+        involution: XORing the kick again recovers b1 (the property real
+        cuckoo eviction relies on to relocate entries without their keys)."""
+        nb = sketches.CUCKOO_BUCKETS
+        for i in range(100):
+            fp = _h60(f"cf|d{i}") % sketches.CUCKOO_FP_MOD + 1
+            b1 = _h60(f"cb|d{i}") % nb
+            kick = _h60(f"ca|{fp}") % nb
+            b2 = b1 ^ kick
+            assert 0 <= b2 < nb
+            assert b2 ^ kick == b1
