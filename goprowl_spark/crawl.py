@@ -42,6 +42,10 @@ class CrawlConfig:
     allowed_hosts: list[str] | None = None  # None = all; reference P1: colly.go:174
     default_budget: int | None = None  # None = unlimited (plain BFS)
     use_bloom: bool = True
+    # "bloom" (bit-array blobs) or "cuckoo" (fingerprint tables — same
+    # shard/delta contract, supports recrawl/expiry deletion via
+    # seen_filter.delete_cuckoos); crawl traces are identical either way
+    filter_kind: str = "bloom"
     n_buckets: int = seen_filter.DEFAULT_N_BUCKETS
     bits_per_bucket: int = seen_filter.DEFAULT_BITS_PER_BUCKET
     # Bloom commits are per-round DELTAS (only touched buckets, latest
@@ -176,13 +180,21 @@ class CrawlEngine:
             "crawl_metrics": self.spark.createDataFrame([], schemas.CRAWL_METRICS),
         }
         if self.config.use_bloom:
-            stage["seen_bloom"] = seen_filter.update_blooms(
-                self.spark.createDataFrame([], schemas.SEEN_BLOOM),
-                delta,
-                self.config.n_buckets,
-                self.config.bits_per_bucket,
-                gen=0,
-            )
+            if self.config.filter_kind == "cuckoo":
+                stage["seen_bloom"] = seen_filter.update_cuckoos(
+                    self.spark.createDataFrame([], schemas.SEEN_BLOOM),
+                    delta,
+                    self.config.n_buckets,
+                    gen=0,
+                )
+            else:
+                stage["seen_bloom"] = seen_filter.update_blooms(
+                    self.spark.createDataFrame([], schemas.SEEN_BLOOM),
+                    delta,
+                    self.config.n_buckets,
+                    self.config.bits_per_bucket,
+                    gen=0,
+                )
         for name, df in stage.items():
             path = self.catalog.stage_path(sid, name)
             df.write.mode("overwrite").parquet(path)
@@ -407,6 +419,7 @@ class CrawlEngine:
                 gen=r,
                 emit_untouched=compact,
                 dedup=True,
+                kind=cfg.filter_kind,
             ).persist(StorageLevel.MEMORY_AND_DISK)
             # ONE aggregate materializes the cogroup into the cache and
             # yields both counters the round needs: the post-dedup

@@ -179,8 +179,14 @@ def probe_and_update(
     gen: int = 0,
     emit_untouched: bool = False,
     dedup: bool = False,
+    kind: str = "bloom",
 ) -> DataFrame:
     """Fused probe + update: ONE cogroup pass per round instead of two.
+
+    ``kind`` selects the filter payload: "bloom" (bit arrays) or "cuckoo"
+    (fingerprint tables — deletable, exact n_items). The cogroup shape,
+    the probe-before-insert semantics, and the delta-generation contract
+    are identical; only the per-shard numpy kernel differs.
 
     Emits two kinds of rows distinguished by ``filter_blob IS NULL``:
 
@@ -222,13 +228,21 @@ def probe_and_update(
     )
     cand_cols = [f.name for f in with_bucket.schema.fields]
 
+    cuckoo = kind == "cuckoo"
+
     def fused(key, cand: pd.DataFrame, blobs: pd.DataFrame) -> pd.DataFrame:
         out = []
         if blobs.empty:
-            blob, n = np.zeros(bits_per_bucket >> 3, dtype=np.uint8), 0
+            if cuckoo:
+                table, stash = _cuckoo_empty(CUCKOO_INNER_BUCKETS, CUCKOO_SLOT_CAP)
+            else:
+                blob = np.zeros(bits_per_bucket >> 3, dtype=np.uint8)
+            n = 0
             have_blob = False
         else:
             blob, n = _latest_blob(blobs)
+            if cuckoo:
+                table, stash, _, _ = _cuckoo_decode(blob.tobytes())
             have_blob = True
         if dedup and not cand.empty:
             # per-url min depth, deterministic (stable sort; url unique
@@ -241,11 +255,14 @@ def probe_and_update(
             )
         if not cand.empty:
             arr = cand["url_hash"].to_numpy(dtype=np.int64)
-            seen_flags = (
-                _test_bits(blob, arr, bits_per_bucket)
-                if have_blob
-                else np.zeros(len(arr), dtype=bool)
-            )
+            if not have_blob:
+                seen_flags = np.zeros(len(arr), dtype=bool)
+            elif cuckoo:
+                seen_flags = _cuckoo_contains(
+                    table, stash, CUCKOO_INNER_BUCKETS, CUCKOO_SLOT_CAP, arr
+                )
+            else:
+                seen_flags = _test_bits(blob, arr, bits_per_bucket)
             out.append(
                 cand.assign(
                     maybe_seen=seen_flags,
@@ -255,13 +272,23 @@ def probe_and_update(
                     n_cands=pd.array([None] * len(cand), dtype="Int64"),
                 )
             )
-            _set_bits(blob, arr, bits_per_bucket)
-            n += len(arr)
+            if cuckoo:
+                table, stash, ins = _cuckoo_insert(
+                    table, stash, CUCKOO_INNER_BUCKETS, CUCKOO_SLOT_CAP, arr
+                )
+                n += ins
+            else:
+                _set_bits(blob, arr, bits_per_bucket)
+                n += len(arr)
         if not cand.empty or (emit_untouched and have_blob):
             blob_row = {c: [None] for c in cand_cols}
             blob_row["__bucket"] = [key[0]]
             blob_row["maybe_seen"] = [None]
-            blob_row["filter_blob"] = [blob.tobytes()]
+            blob_row["filter_blob"] = [
+                _cuckoo_encode(table, stash, CUCKOO_INNER_BUCKETS, CUCKOO_SLOT_CAP)
+                if cuckoo
+                else blob.tobytes()
+            ]
             blob_row["n_items"] = [n]
             blob_row["gen"] = [gen]
             blob_row["n_cands"] = [len(cand)]

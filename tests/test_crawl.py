@@ -340,3 +340,17 @@ def test_budget_from_crawl_delay_units(spark):
         for r in merge_host_budgets(explicit, derived).collect()
     }
     assert merged == {"a": 1, "b": 60, "c": 1, "z": 7}
+
+
+def test_cuckoo_backend_trace_equal(spark, tmp_path):
+    """The full BFS crawl on the cuckoo seen-filter backend must produce
+    the exact oracle trace — same rounds, same seen set, same spans — as
+    the Bloom backend does (the filter only prunes the probe side; a
+    backend can only change performance, never output)."""
+    seeds = [corpus.url(0)]
+    cfg = CrawlConfig(
+        seeds=seeds, max_depth=4, use_bloom=True, filter_kind="cuckoo"
+    )
+    engine = make_engine(spark, tmp_path, cfg)
+    engine.run()
+    assert_trace_equal(engine, crawl_oracle(N, seeds, 4))

@@ -240,3 +240,22 @@ def test_filter_unseen_cuckoo_equals_exact_antijoin(spark):
     }
     assert with_cf == exact
     assert len(exact) == 3000
+
+
+def test_probe_and_update_cuckoo_matches_split_path(spark):
+    seen = _urls(spark, 0, 500)
+    cands = _urls(spark, 400, 700)
+    empty = spark.createDataFrame([], seen_filter.schemas.SEEN_BLOOM)
+    cf = seen_filter.update_cuckoos(empty, seen, gen=0)
+    fused = seen_filter.probe_and_update(cands, cf, gen=1, kind="cuckoo")
+    probed = fused.where(F.col("filter_blob").isNull())
+    split = seen_filter.probe_cuckoos(cands, cf)
+    got = {(r["url"], r["maybe_seen"]) for r in probed.collect()}
+    want = {(r["url"], r["maybe_seen"]) for r in split.collect()}
+    assert got == want
+    # emitted deltas contain every candidate: reprobe after append = all True
+    delta = fused.where(F.col("filter_blob").isNotNull()).select(
+        F.col("__bucket").alias("bucket"), "filter_blob", "n_items", "gen"
+    )
+    reprobe = seen_filter.probe_cuckoos(cands, cf.unionByName(delta))
+    assert reprobe.where(~F.col("maybe_seen")).count() == 0
