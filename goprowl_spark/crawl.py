@@ -229,6 +229,142 @@ class CrawlEngine:
             "snapshot": self.catalog.latest(),
         }
 
+    def expire_urls(self, urls: list[str], reenqueue: bool = False) -> int:
+        """Recrawl/expiry — the content-aged-out path the reference lacks
+        entirely (its only reset is Clear, S11: bleve/storage.go:279-299,
+        which drops everything). Two modes:
+
+        * ``reenqueue=False`` (forget): remove the urls from the seen set,
+          their rows from documents (and the maintained index), and their
+          entries from the seen FILTER, so organic re-discovery crawls
+          them again. On the cuckoo backend the filter edit is a per-shard
+          fingerprint delete (delete_cuckoos) merged into a compacted
+          table; on the Bloom backend bits are shared between keys, so
+          forgetting pays a FULL filter rebuild from the surviving seen
+          set — the structural asymmetry that motivates the cuckoo
+          backend.
+        * ``reenqueue=True`` (forced refetch): drop the stale document
+          rows and push the urls back into the frontier at their original
+          depth. Seen set and filter stay intact — the frontier ⊆ seen
+          invariant holds, and a pop never consults the seen set, so the
+          refetch happens next round without re-admitting the urls'
+          already-seen links.
+
+        Commits one snapshot; returns the number of urls actually expired.
+        """
+        cfg = self.config
+        if self.catalog.latest() is None:
+            raise ValueError("expire_urls before start(): nothing is seen yet")
+        props = self.catalog.properties()
+        r = int(props.get("round", 0))
+        urls_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(u,) for u in urls], "url string"
+            ).distinct()
+        )
+        seen = self.seen()
+        expired = seen.join(urls_df, "url", "inner").persist()
+        n_expired = expired.count()
+        if n_expired == 0:
+            expired.unpersist()
+            return 0
+
+        sid = self.catalog.next_sid()
+        docs_path = self.catalog.stage_path(sid, "documents")
+        self.documents().join(
+            urls_df.withColumnRenamed("url", "doc_id"), "doc_id", "left_anti"
+        ).write.mode("overwrite").parquet(docs_path)
+        tables = {"documents": docs_path}
+
+        seen_path = self.catalog.stage_path(sid, "seen")
+        if not reenqueue:
+            seen.join(urls_df, "url", "left_anti").write.mode(
+                "overwrite"
+            ).parquet(seen_path)
+            tables["seen"] = seen_path
+
+        if cfg.use_bloom and not reenqueue:
+            bloom_path = self.catalog.stage_path(sid, "seen_bloom")
+            blobs = self._load("seen_bloom", schemas.SEEN_BLOOM)
+            if cfg.filter_kind == "cuckoo":
+                # latest generation per shard, then a fingerprint delete on
+                # the touched shards; written as a compacted full table so
+                # future generation stamps stay monotone
+                latest = (
+                    blobs.groupBy("bucket")
+                    .agg(
+                        F.max_by(
+                            F.struct("filter_blob", "n_items", "gen"), "gen"
+                        ).alias("s")
+                    )
+                    .select("bucket", "s.filter_blob", "s.n_items", "s.gen")
+                )
+                touched = seen_filter.delete_cuckoos(
+                    latest, expired, cfg.n_buckets, gen=r
+                )
+                untouched = latest.join(
+                    F.broadcast(touched.select("bucket")), "bucket", "left_anti"
+                )
+                new_blobs = untouched.unionByName(touched)
+            else:
+                surviving = self.spark.read.schema(schemas.SEEN).parquet(seen_path)
+                new_blobs = seen_filter.update_blooms(
+                    self.spark.createDataFrame([], schemas.SEEN_BLOOM),
+                    surviving,
+                    cfg.n_buckets,
+                    cfg.bits_per_bucket,
+                    gen=r,
+                )
+            new_blobs.write.mode("overwrite").parquet(bloom_path)
+            tables["seen_bloom"] = bloom_path
+
+        if cfg.maintain_index:
+            from goprowl_spark import ranking
+
+            docs_new = self.spark.read.schema(schemas.DOCUMENTS).parquet(docs_path)
+            postings_path = self.catalog.stage_path(sid, "postings")
+            stats_path = self.catalog.stage_path(sid, "doc_stats")
+            ranking.build_postings(docs_new).write.mode("overwrite").parquet(
+                postings_path
+            )
+            ranking.build_doc_stats(docs_new).write.mode("overwrite").parquet(
+                stats_path
+            )
+            tables["postings"] = postings_path
+            tables["doc_stats"] = stats_path
+
+        n_frontier = int(props.get("frontier_count", 0))
+        if reenqueue:
+            frontier_path = self.catalog.stage_path(sid, "frontier")
+            requeued = expired.select(
+                "url",
+                "url_hash",
+                F.parse_url("url", F.lit("HOST")).alias("host"),
+                "depth",
+                F.lit(0.0).alias("priority"),
+                F.lit(r).alias("discovered_round"),
+            )
+            self.frontier().unionByName(requeued).write.mode(
+                "overwrite"
+            ).parquet(frontier_path)
+            tables["frontier"] = frontier_path
+            n_frontier += n_expired
+        expired.unpersist()
+
+        seen_count = int(props.get("seen_count", 0))
+        if not reenqueue:
+            seen_count -= n_expired
+        self.catalog.commit_staged(
+            sid,
+            tables=tables,
+            properties={
+                "round": r,
+                "seen_count": seen_count,
+                "frontier_count": n_frontier,
+            },
+        )
+        return n_expired
+
     # ------------------------------------------------------------ one round
 
     def crawl_round(self) -> bool:

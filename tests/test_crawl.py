@@ -4,6 +4,7 @@ seen set with first-enqueue depths, and per-document span sequences
 (BASELINE.json north_rule / input_hint)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from goprowl_spark import corpus
 from goprowl_spark.crawl import CrawlConfig, CrawlEngine
@@ -354,3 +355,78 @@ def test_cuckoo_backend_trace_equal(spark, tmp_path):
     engine = make_engine(spark, tmp_path, cfg)
     engine.run()
     assert_trace_equal(engine, crawl_oracle(N, seeds, 4))
+
+
+@pytest.mark.parametrize("kind", ["cuckoo", "bloom"])
+def test_expire_forced_refetch(spark, tmp_path, kind):
+    """reenqueue=True: the stale document drops, the url refetches next
+    round with identical spans, and the seen set (depths, rounds) is
+    untouched — the filter never has to change."""
+    seeds = [corpus.url(0)]
+    cfg = CrawlConfig(seeds=seeds, max_depth=3, filter_kind=kind)
+    engine = make_engine(spark, tmp_path / kind, cfg)
+    engine.run()
+    r_done = engine.current_round()
+    seen_before = {tuple(r) for r in engine.seen().collect()}
+    docs = {r["doc_id"]: r for r in engine.documents().collect()}
+    x = sorted(u for u, row in docs.items() if row["fetched_depth"] == 1)[0]
+    old_spans = [tuple(s) for s in docs[x]["spans"]]
+
+    assert engine.expire_urls([x], reenqueue=True) == 1
+    assert engine.documents().where(F.col("doc_id") == x).count() == 0
+    # expiring an unknown url is a no-op
+    assert engine.expire_urls(["https://nowhere.test/"]) == 0
+
+    engine.run()
+    assert engine.current_round() == r_done + 1
+    row = engine.documents().where(F.col("doc_id") == x).collect()[0]
+    assert [tuple(s) for s in row["spans"]] == old_spans
+    assert row["fetched_round"] == r_done + 1
+    # seen set identical: refetch must not re-admit x's already-seen links
+    assert {tuple(r) for r in engine.seen().collect()} == seen_before
+    # every other document kept its original fetch round
+    others = engine.documents().where(F.col("doc_id") != x)
+    assert others.where(F.col("fetched_round") > r_done).count() == 0
+
+
+@pytest.mark.parametrize("kind", ["cuckoo", "bloom"])
+def test_expire_forget_organic_rediscovery(spark, tmp_path, kind):
+    """reenqueue=False: the url vanishes from seen, documents AND the
+    seen filter (per-shard fingerprint delete on cuckoo; full rebuild on
+    Bloom), so when its parent refetches, the link is rediscovered as a
+    brand-new candidate and recrawled organically."""
+    from goprowl_spark import schemas, seen_filter
+
+    seeds = [corpus.url(0)]
+    cfg = CrawlConfig(seeds=seeds, max_depth=3, filter_kind=kind)
+    engine = make_engine(spark, tmp_path / kind, cfg)
+    engine.run()
+    r_done = engine.current_round()
+    docs = {r["doc_id"]: r for r in engine.documents().collect()}
+    x = sorted(u for u, row in docs.items() if row["fetched_depth"] == 1)[0]
+    old_spans = [tuple(s) for s in docs[x]["spans"]]
+
+    assert engine.expire_urls([x]) == 1
+    assert engine.seen().where(F.col("url") == x).count() == 0
+    assert engine.documents().where(F.col("doc_id") == x).count() == 0
+    # the filter genuinely forgot x: a direct probe answers unseen
+    # (cuckoo deletes the fingerprint; bloom rebuilt from surviving seen —
+    # x's bits may survive via collisions on bloom, so only assert there
+    # when the probe CAN be definitive)
+    xdf = engine.seen().sparkSession.createDataFrame([(x,)], "url string").select(
+        "url", F.xxhash64("url").alias("url_hash")
+    )
+    blobs = engine._load("seen_bloom", schemas.SEEN_BLOOM)
+    if kind == "cuckoo":
+        probe = seen_filter.probe_cuckoos(xdf, blobs)
+        assert probe.collect()[0]["maybe_seen"] is False
+
+    # refetch the parent: x is rediscovered as a new candidate
+    assert engine.expire_urls([corpus.url(0)], reenqueue=True) == 1
+    engine.run()
+    row = engine.seen().where(F.col("url") == x).collect()[0]
+    assert row["first_seen_round"] == r_done + 1  # rediscovered
+    assert row["depth"] == 1
+    doc = engine.documents().where(F.col("doc_id") == x).collect()[0]
+    assert doc["fetched_round"] == r_done + 2  # fetched the round after
+    assert [tuple(s) for s in doc["spans"]] == old_spans
