@@ -1074,6 +1074,64 @@ ORDER BY kind
 """
 
 
+def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text inversion over the real parse path: corpus HTML → Arrow
+    parse UDF → link spans → one partial-agg shuffle keyed by TARGET url
+    (graph.anchor_stats). In-degree, distinct sources, distinct anchors,
+    and an order-free per-edge checksum per target — the web-ranking
+    signal the reference leaves on the floor (it stores outbound hrefs in
+    metadata and never inverts them: colly.go:184, adapter.go:42-72)."""
+    from goprowl_spark.operators import graph
+
+    pages = corpus.corpus_df(spark, SPAN_PAGES).where(F.col("status") == 200)
+    links = (
+        pages.select(
+            F.col("url").alias("src"),
+            F.explode(parse_spans_udf(F.col("html"), F.col("url"))).alias("s"),
+        )
+        .where(F.col("s.kind") == "link")
+        .select("src", F.col("s.media_ref").alias("target"), F.col("s.text").alias("anchor"))
+    )
+    return graph.anchor_stats(links).orderBy("target")
+
+
+def _anchor_stats_oracle() -> str:
+    """Ground-truth link-edge replay (same corpus formulas as
+    _span_stats_oracle's link_spans CTE) + the same target aggregation."""
+    from goprowl_spark.operators.dedup import h60_sql
+
+    n = SPAN_PAGES
+
+    def url_of(x: str) -> str:
+        return (
+            f"'https://h' || (CASE WHEN ({x}) % 10 < 3 THEN 0 "
+            f"ELSE 1 + (({x}) % 9) END) || '.test/p/' || ({x})"
+        )
+
+    tgt = f"((p.i*7 + jj.j*13 + 1) % {n})"
+    edge_key = "src || '|' || anchor"
+    return f"""
+WITH pages AS (
+  SELECT i FROM range({n}) t(i) WHERE i % 97 <> 33 AND i % 131 <> 57
+),
+links AS (
+  SELECT {url_of('p.i')} AS src,
+         {url_of(tgt)} AS target,
+         'link ' || {tgt} AS anchor
+  FROM pages p, range(4) jj(j)
+  WHERE jj.j < 2 + p.i % 3
+)
+SELECT target,
+       CAST(count(*) AS BIGINT) AS in_degree,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT anchor) AS BIGINT) AS n_anchors,
+       CAST(sum({h60_sql(edge_key)} % 1000003) AS BIGINT) AS anchor_checksum
+FROM links
+GROUP BY target
+ORDER BY target
+"""
+
+
 MEDIA_PX_DOCS = 20
 
 
@@ -1842,6 +1900,7 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
         + ") t"
     ),
     "span_stats": _span_stats_oracle(),
+    "anchor_stats": _anchor_stats_oracle(),
     "hll_distinct": sketches.hll_distinct_sql("lineitem", "l_orderkey"),
     "cms_heavy_hitters": sketches.cms_heavy_hitters_sql(
         "events", "user_id", f"SELECT count(*) // {CMS_THRESHOLD_DIV} FROM events"
@@ -1892,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpr_audit": q_bloom_fpr_audit,
         "cuckoo_fpr_audit": q_cuckoo_fpr_audit,
         "span_stats": q_span_stats,
+        "anchor_stats": q_anchor_stats,
     })
     qs.update({
         "crawl_bfs_seen": q_crawl_bfs_seen,

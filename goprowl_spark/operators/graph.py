@@ -116,3 +116,43 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def anchor_stats(links: DataFrame, checksum_mod: int = 1000003) -> DataFrame:
+    """Anchor-text inversion: aggregate every link's anchor text onto its
+    TARGET url — the classic web-ranking signal (anchor text describes the
+    target better than the target's own text; Brin & Page 1998 §2.2, and
+    the natural ranking upgrade for the reference's link handling, which
+    only stores outbound hrefs in metadata: colly.go:184,
+    adapter.go:42-72).
+
+    Input: (src, target, anchor) rows — one per link edge, e.g. exploded
+    'link' spans (anchor = span text, target = span media_ref). Output per
+    target: in_degree, n_sources (distinct linking pages), n_anchors
+    (distinct anchor strings), anchor_checksum (order-free h60 digest of
+    (src, anchor) pairs — a value-hash-strength witness that every edge
+    contribution is present exactly once).
+
+    Scale shape: ONE partial-aggregated shuffle keyed by target url —
+    count/count-distinct/sum all map-side combine; no joins, no windows.
+    At 10^10 edges the only wide exchange carries one row per distinct
+    target per map partition.
+    """
+    from goprowl_spark.operators.dedup import h60
+
+    edge_h = h60(F.concat_ws("|", F.col("src"), F.col("anchor")))
+    return (
+        links.select(
+            F.col("target"),
+            F.col("src"),
+            F.col("anchor"),
+            (edge_h % checksum_mod).alias("edge_h"),
+        )
+        .groupBy("target")
+        .agg(
+            F.count("*").cast("long").alias("in_degree"),
+            F.countDistinct("src").cast("long").alias("n_sources"),
+            F.countDistinct("anchor").cast("long").alias("n_anchors"),
+            F.sum("edge_h").cast("long").alias("anchor_checksum"),
+        )
+    )

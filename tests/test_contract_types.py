@@ -93,6 +93,11 @@ STABLE_ROTATION = {
     # r3-driver-green and its hashing-trick shape feeds the in-window
     # embedding queries (emb_* all consume the same h60 machinery)
     "feature_hash_embed",
+    # rotated to admit anchor_stats (anchor-text inversion over the real
+    # parse path); unigram_logprob is r3-driver-green and its
+    # partial-agg-cascade shape stays exercised in-window by
+    # repetition_stats
+    "unigram_logprob",
 }
 
 

@@ -72,3 +72,41 @@ def test_hits_matches_numpy(spark):
     for i in range(n):
         assert abs(got[i][0] - hub[i]) < 1e-10, ("hub", i)
         assert abs(got[i][1] - auth[i]) < 1e-10, ("auth", i)
+
+
+def test_anchor_stats_matches_python_twin(spark):
+    """anchor_stats vs a direct Python aggregation over the same edges —
+    including duplicate (src,target) edges and shared anchors."""
+    import hashlib
+
+    from goprowl_spark.operators.graph import anchor_stats
+
+    edges = [
+        ("a", "x", "click here"),
+        ("a", "x", "click here"),   # duplicate edge counts twice
+        ("b", "x", "the x page"),
+        ("c", "y", "click here"),
+        ("b", "y", "y!"),
+        ("b", "y", "y again"),
+    ]
+    df = spark.createDataFrame(edges, "src string, target string, anchor string")
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for t in {e[1] for e in edges}:
+        es = [e for e in edges if e[1] == t]
+        want[t] = (
+            len(es),
+            len({e[0] for e in es}),
+            len({e[2] for e in es}),
+            sum(h60(f"{e[0]}|{e[2]}") % 1000003 for e in es),
+        )
+    got = {
+        r["target"]: (
+            r["in_degree"], r["n_sources"], r["n_anchors"], r["anchor_checksum"]
+        )
+        for r in anchor_stats(df).collect()
+    }
+    assert got == want
