@@ -1074,6 +1074,19 @@ ORDER BY kind
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every training document scored for
+    verbatim k-token overlap with an eval set (here: the doc_id % 7 == 0
+    slice standing in for a leaked benchmark — those docs score 1.0 by
+    construction, and any other doc sharing an 8-token span with them
+    scores the shared fraction). The eval window set broadcasts; the
+    corpus side stays map-only + one doc-keyed aggregation."""
+    docs = _docs(spark, sf_dir)
+    return dedup.decontaminate(
+        docs, docs.where(F.col("doc_id") % 7 == 0), k=DUP_WINDOW_K
+    ).orderBy("doc_id")
+
+
 def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text inversion over the real parse path: corpus HTML → Arrow
     parse UDF → link spans → one partial-agg shuffle keyed by TARGET url
@@ -1916,6 +1929,11 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
     "repetition_stats": textstats.repetition_stats_sql("documents", "doc_id", "text"),
     "dup_windows": dedup.duplicated_windows_sql("documents", k=DUP_WINDOW_K),
     "doc_dup_window_frac": dedup.doc_dup_window_frac_sql("documents", k=DUP_WINDOW_K),
+    "decontaminate": dedup.decontaminate_sql(
+        "documents",
+        "(SELECT * FROM documents WHERE doc_id % 7 = 0)",
+        k=DUP_WINDOW_K,
+    ),
     "unigram_logprob": textstats.unigram_logprob_sql("documents", "doc_id", "text"),
     "feature_hash_embed": textstats.feature_hash_embed_sql("documents", "doc_id", "text"),
     "lang_id": textstats.lang_id_sql("documents", "doc_id", "text"),
@@ -1952,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_fpr_audit": q_cuckoo_fpr_audit,
         "span_stats": q_span_stats,
         "anchor_stats": q_anchor_stats,
+        "decontaminate": q_decontaminate,
     })
     qs.update({
         "crawl_bfs_seen": q_crawl_bfs_seen,
@@ -1963,7 +1982,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": q_search_facets,
         "suggest_prefix": q_suggest_prefix,
         "postings": q_postings,
-        "doc_stats": q_doc_stats,
         "tfidf_search": q_tfidf,
         "bm25_search": q_bm25,
         "bm25_batch": q_bm25_batch,
@@ -2001,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by the same operators elsewhere in the window, re-verifiable locally
     # via tools/check_contract.py in seconds
     qs.update({
+        "doc_stats": q_doc_stats,
         "broadcast_join_agg": q_broadcast_join_agg,
         "set_except": q_set_except,
         "agg_q1": q_agg_q1,

@@ -517,3 +517,88 @@ SELECT b.{id_col} AS doc_id,
 FROM {table} b LEFT JOIN per_doc p ON b.{id_col} = p.doc_id
 ORDER BY doc_id
 """
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per TRAINING document, the fraction of
+    its k-token windows that appear verbatim anywhere in the EVALUATION
+    set — the check every serious training pipeline runs before a corpus
+    ships (n-gram-overlap decontamination as in GPT-3 appendix C /
+    Lee et al. 2022 §6.3: eval text leaking into training data inflates
+    benchmark scores). Self-dedup next door (doc_dup_window_frac) asks
+    "is this doc a copy of another TRAINING doc"; this asks "does this
+    doc contain EVAL text" — same window machinery, different reference
+    set, and the remedy differs (drop/redact the training doc; never
+    touch the eval set).
+
+    Output: (doc_id, n_windows, eval_windows, contamination_frac) with a
+    row for every training doc (zero-window docs report 0.0).
+
+    Scale shape: the eval window set is benchmark-sized (thousands of
+    docs) against a 100 TB corpus — it BROADCASTS, so the whole check is
+    the corpus's map-only window projection plus one doc-keyed partial
+    aggregation; the corpus never shuffles its windows by hash."""
+    w = _token_windows(df, k, id_col, text_col)
+    ew = (
+        _token_windows(eval_df, k, eval_id_col, eval_text_col)
+        .select("whash")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        w.join(F.broadcast(ew), "whash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("hit").alias("eval_windows"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("eval_windows", F.lit(0)).cast("long").alias("eval_windows"),
+        F.round(
+            F.coalesce(
+                F.col("eval_windows").cast("double")
+                / F.greatest(F.col("n_windows").cast("double"), F.lit(1.0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("contamination_frac"),
+    )
+
+
+def decontaminate_sql(
+    train_table: str,
+    eval_table: str,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin; eval_table may be a parenthesized subquery."""
+    return f"""
+WITH w AS ({_windows_sql(train_table, k, id_col, text_col)}),
+ew AS (
+  SELECT DISTINCT whash FROM ({_windows_sql(eval_table, k, id_col, text_col)})
+),
+per_doc AS (
+  SELECT w.doc_id, count(*) AS n_windows, count(ew.whash) AS eval_windows
+  FROM w LEFT JOIN ew USING (whash) GROUP BY w.doc_id
+)
+SELECT b.{id_col} AS doc_id,
+       CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(p.eval_windows, 0) AS BIGINT) AS eval_windows,
+       round(coalesce(p.eval_windows * 1.0 / greatest(p.n_windows * 1.0, 1.0), 0.0), 6)
+         AS contamination_frac
+FROM {train_table} b LEFT JOIN per_doc p ON b.{id_col} = p.doc_id
+ORDER BY doc_id
+"""

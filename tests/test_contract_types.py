@@ -98,6 +98,11 @@ STABLE_ROTATION = {
     # partial-agg-cascade shape stays exercised in-window by
     # repetition_stats
     "unigram_logprob",
+    # rotated to admit decontaminate (eval-set window-overlap scoring);
+    # doc_stats is r3-driver-green and its groupBy-count shape is
+    # exercised in-window by every ranked-search query (tfidf/bm25 build
+    # doc stats internally)
+    "doc_stats",
 }
 
 

@@ -169,3 +169,32 @@ def test_doc_shorter_than_window_reports_zero(spark):
     assert rows[1]["n_windows"] == 0
     assert rows[1]["dup_window_frac"] == 0.0
     assert rows[2]["n_windows"] == 3
+
+
+def test_decontaminate_exact_fractions(spark):
+    """Handcrafted eval overlap: a doc that IS eval text scores 1.0, a doc
+    sharing exactly one k-window scores 1/n_windows, a clean doc scores
+    0.0, and a doc shorter than k tokens reports zero windows."""
+    from goprowl_spark.operators.dedup import decontaminate
+
+    k = 4
+    eval_text = "alpha beta gamma delta epsilon"  # windows: 2 (5 tokens, k=4)
+    train = spark.createDataFrame(
+        [
+            (1, eval_text),                                   # leaked verbatim
+            (2, "zero one alpha beta gamma delta two three"), # shares 1 window
+            (3, "totally clean text with no overlap here"),
+            (4, "too short"),                                 # < k tokens
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["eval_windows"], r["contamination_frac"])
+        for r in decontaminate(train, ev, k=k).collect()
+    }
+    assert got[1] == (2, 2, 1.0)
+    # doc 2: tokens 8 -> 5 windows; exactly one ("alpha beta gamma delta")
+    assert got[2] == (5, 1, 0.2)
+    assert got[3] == (4, 0, 0.0)  # 7 tokens -> 4 windows, none shared
+    assert got[4] == (0, 0, 0.0)
