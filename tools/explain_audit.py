@@ -56,6 +56,16 @@ CHECKS = {
     # span stats: Arrow parse UDF -> explode -> partial-agg cascade; the
     # span table is never joined, only aggregated
     "span_stats": (["HashAggregate"], ["Join"]),
+    # cuckoo audit: entry table and stash broadcast to the probes; the
+    # probe side never shuffles into a sort-merge join (the build-side
+    # placement windows are bounded by the build set)
+    "cuckoo_fpr_audit": (["BroadcastHashJoin"], ["SortMergeJoin"]),
+    # anchor inversion: ONE partial-agg shuffle keyed by target; the link
+    # edges are never joined, only aggregated
+    "anchor_stats": (["HashAggregate"], ["Join"]),
+    # decontamination: the eval window set broadcasts; the corpus windows
+    # are map-only + doc-keyed agg, never sort-merge-shuffled by hash
+    "decontaminate": (["BroadcastHashJoin"], ["SortMergeJoin"]),
 }
 
 
