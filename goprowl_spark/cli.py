@@ -126,6 +126,20 @@ def cmd_curate(args) -> int:
 
     spark = get_spark("goprowl-curate")
     docs = spark.read.parquet(args.input)
+    n_contaminated = 0
+    if args.eval_input:
+        # decontamination runs FIRST: a doc carrying eval text must never
+        # reach the mixture regardless of its quality or dedup fate
+        from goprowl_spark.operators import dedup as dedup_ops
+
+        scored = dedup_ops.decontaminate(
+            docs, spark.read.parquet(args.eval_input), k=args.decon_k
+        )
+        dirty = scored.where(
+            F.col("contamination_frac") > args.decon_max_frac
+        ).select("doc_id")
+        n_contaminated = dirty.count()
+        docs = docs.join(F.broadcast(dirty), "doc_id", "left_anti")
     mix = curation.curation_pipeline(
         docs,
         args.quality_min,
@@ -143,7 +157,9 @@ def cmd_curate(args) -> int:
         F.coalesce(F.sum("ws_tokens"), F.lit(0)).alias("tokens_kept"),
         F.countDistinct("source").alias("sources"),
     ).collect()[0]
-    print(json.dumps({k: int(summary[k]) for k in summary.asDict()}))
+    out_stats = {k: int(summary[k]) for k in summary.asDict()}
+    out_stats["docs_decontaminated"] = n_contaminated
+    print(json.dumps(out_stats))
     return 0
 
 
@@ -263,6 +279,18 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--budget-tokens", type=int, required=True)
     cu.add_argument("--jaccard-threshold", type=float, default=0.25)
     cu.add_argument("--df-cap", type=int, default=100)
+    cu.add_argument(
+        "--eval-input",
+        default=None,
+        help="eval-set parquet; docs overlapping it are dropped before curation",
+    )
+    cu.add_argument("--decon-k", type=int, default=8, help="window size (tokens)")
+    cu.add_argument(
+        "--decon-max-frac",
+        type=float,
+        default=0.0,
+        help="max allowed fraction of eval-overlapping windows (default: any overlap drops)",
+    )
     cu.set_defaults(fn=cmd_curate)
 
     st = sub.add_parser("stats")

@@ -129,3 +129,39 @@ def test_cli_sketch(spark, capsys):
     for hh in out["heavy_hitters"]:
         assert hh["estimate"] >= hh["true_count"]
         assert hh["estimate"] >= 10
+
+
+def test_cli_curate_decontaminates(spark, tmp_path, capsys):
+    """--eval-input drops any doc whose k-token windows overlap the eval
+    set before quality/dedup/budget run; the leaked doc never reaches the
+    mixture and the summary reports the drop count."""
+    eval_text = " ".join(f"evaltoken{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "clean text " + " ".join(f"w{i}" for i in range(30)), "en", "web", 200),
+            (2, eval_text + " trailing words here", "en", "web", 200),  # leaked
+            (3, "another clean doc " + " ".join(f"v{i}" for i in range(30)), "en", "web", 200),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ev = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+    docs_path = str(tmp_path / "docs.parquet")
+    eval_path = str(tmp_path / "eval.parquet")
+    out_path = str(tmp_path / "mix.parquet")
+    docs.write.parquet(docs_path)
+    ev.write.parquet(eval_path)
+
+    rc = cli.main(
+        [
+            "curate",
+            "--input", docs_path,
+            "--output", out_path,
+            "--budget-tokens", "1000",
+            "--eval-input", eval_path,
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["docs_decontaminated"] == 1
+    kept = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+    assert 2 not in kept and {1, 3} <= kept

@@ -62,3 +62,32 @@ def test_stale_sid_commit_rejected(spark, tmp_path):
 
     with pytest.raises(ValueError):
         cat.commit_staged(5, tables={"t": "/nonexistent"})
+
+
+def test_expire_commit_is_a_resumable_checkpoint(spark, tmp_path):
+    """expire_urls commits through the same manifest swing as a crawl
+    round, so a FRESH engine over the same workdir picks up the expiry
+    snapshot and completes the refetch exactly as the original would."""
+    from pyspark.sql import functions as F
+
+    cfg = CrawlConfig(seeds=[corpus.url(0)], max_depth=3, filter_kind="cuckoo")
+    eng = CrawlEngine(
+        spark, None, str(tmp_path), cfg, fetcher=corpus.make_fetcher(N)
+    )
+    eng.run()
+    r_done = eng.current_round()
+    docs = {r["doc_id"]: r for r in eng.documents().collect()}
+    x = sorted(u for u, row in docs.items() if row["fetched_depth"] == 1)[0]
+    old_spans = [tuple(s) for s in docs[x]["spans"]]
+    assert eng.expire_urls([x], reenqueue=True) == 1
+
+    # crash here: a new engine resumes from the expiry snapshot
+    resumed = CrawlEngine(
+        spark, None, str(tmp_path), cfg, fetcher=corpus.make_fetcher(N)
+    )
+    assert resumed.current_round() == r_done
+    assert resumed.documents().where(F.col("doc_id") == x).count() == 0
+    resumed.run()
+    row = resumed.documents().where(F.col("doc_id") == x).collect()[0]
+    assert row["fetched_round"] == r_done + 1
+    assert [tuple(s) for s in row["spans"]] == old_spans
