@@ -237,12 +237,14 @@ class CrawlEngine:
         * ``reenqueue=False`` (forget): remove the urls from the seen set,
           their rows from documents (and the maintained index), and their
           entries from the seen FILTER, so organic re-discovery crawls
-          them again. On the cuckoo backend the filter edit is a per-shard
-          fingerprint delete (delete_cuckoos) merged into a compacted
-          table; on the Bloom backend bits are shared between keys, so
-          forgetting pays a FULL filter rebuild from the surviving seen
-          set — the structural asymmetry that motivates the cuckoo
-          backend.
+          them again. The filter edit rebuilds ONLY the touched shards
+          from the surviving seen rows — exact for both backends, and
+          bounded by the touched shards' membership (seen/n_buckets rows
+          per shard), never the whole filter. The cuckoo backend's
+          O(expired) fingerprint delete (delete_cuckoos) is deliberately
+          NOT used here: it is only sound when no other member's insert
+          was fingerprint-skipped against the deleted entry (see its
+          contract), a condition the engine cannot verify cheaply.
         * ``reenqueue=True`` (forced refetch): drop the stale document
           rows and push the urls back into the frontier at their original
           depth. Seen set and filter stay intact — the frontier ⊆ seen
@@ -284,37 +286,58 @@ class CrawlEngine:
             tables["seen"] = seen_path
 
         if cfg.use_bloom and not reenqueue:
+            # Rebuild ONLY the touched shards from the surviving seen rows —
+            # exact by construction for BOTH backends. A bare fingerprint
+            # delete (delete_cuckoos) is O(expired) but unsound when another
+            # member's insert was fingerprint-skipped against the deleted
+            # entry (see delete_cuckoos' contract and
+            # tests/test_properties.py::test_cuckoo_kernel_noncontract_delete_caveat);
+            # a Bloom bit can never be cleared at all. Shard-scoped rebuild
+            # costs O(seen rows hashing to touched shards) — at 4096 shards
+            # and a handful of expired urls that is seen/4096 per shard, not
+            # a 10^10-row filter rebuild.
             bloom_path = self.catalog.stage_path(sid, "seen_bloom")
             blobs = self._load("seen_bloom", schemas.SEEN_BLOOM)
+            latest = (
+                blobs.groupBy("bucket")
+                .agg(
+                    F.max_by(
+                        F.struct("filter_blob", "n_items", "gen"), "gen"
+                    ).alias("s")
+                )
+                .select("bucket", "s.filter_blob", "s.n_items", "s.gen")
+            )
+            touched_buckets = expired.select(
+                F.pmod(F.col("url_hash"), F.lit(cfg.n_buckets))
+                .cast("int")
+                .alias("bucket")
+            ).distinct()
+            surviving = self.spark.read.schema(schemas.SEEN).parquet(seen_path)
+            surviving_touched = surviving.join(
+                F.broadcast(touched_buckets),
+                F.pmod(F.col("url_hash"), F.lit(cfg.n_buckets)).cast("int")
+                == F.col("bucket"),
+                "left_semi",
+            )
+            empty = self.spark.createDataFrame([], schemas.SEEN_BLOOM)
             if cfg.filter_kind == "cuckoo":
-                # latest generation per shard, then a fingerprint delete on
-                # the touched shards; written as a compacted full table so
-                # future generation stamps stay monotone
-                latest = (
-                    blobs.groupBy("bucket")
-                    .agg(
-                        F.max_by(
-                            F.struct("filter_blob", "n_items", "gen"), "gen"
-                        ).alias("s")
-                    )
-                    .select("bucket", "s.filter_blob", "s.n_items", "s.gen")
+                rebuilt = seen_filter.update_cuckoos(
+                    empty, surviving_touched, cfg.n_buckets, gen=r
                 )
-                touched = seen_filter.delete_cuckoos(
-                    latest, expired, cfg.n_buckets, gen=r
-                )
-                untouched = latest.join(
-                    F.broadcast(touched.select("bucket")), "bucket", "left_anti"
-                )
-                new_blobs = untouched.unionByName(touched)
             else:
-                surviving = self.spark.read.schema(schemas.SEEN).parquet(seen_path)
-                new_blobs = seen_filter.update_blooms(
-                    self.spark.createDataFrame([], schemas.SEEN_BLOOM),
-                    surviving,
+                rebuilt = seen_filter.update_blooms(
+                    empty,
+                    surviving_touched,
                     cfg.n_buckets,
                     cfg.bits_per_bucket,
                     gen=r,
                 )
+            untouched = latest.join(
+                F.broadcast(touched_buckets), "bucket", "left_anti"
+            )
+            # a touched shard whose members all expired simply has no row
+            # in the new table — probes there answer definitively unseen
+            new_blobs = untouched.unionByName(rebuilt)
             new_blobs.write.mode("overwrite").parquet(bloom_path)
             tables["seen_bloom"] = bloom_path
 

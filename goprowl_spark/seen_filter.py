@@ -485,8 +485,16 @@ def _cuckoo_delete(
     """Remove one entry per hash (the operation Bloom cannot do). The
     member test is vectorized; only actual removals touch Python, and a
     delete batch is a maintenance op (recrawl/expiry), not the hot path.
-    Deleting a non-member is a no-op (standard cuckoo caveat: only delete
-    what was inserted)."""
+
+    CONTRACT (standard cuckoo-filter caveat, Fan et al. 2014 §3.2): only
+    delete keys that were actually inserted. A never-inserted key that
+    fingerprint-collides with a member is indistinguishable from it, so
+    deleting it would evict the member's entry — a false negative. This
+    is inherent to every fingerprint filter, not a bug; the crawl's
+    expiry path (CrawlEngine.expire_urls) honors the contract by joining
+    delete candidates against the EXACT seen table first, so only true
+    members ever reach this function. A true non-member (no fingerprint
+    match anywhere) is a safe no-op."""
     h = np.unique(h)
     member = _cuckoo_contains(table, stash, nb, cap, h)
     h = h[member]

@@ -112,3 +112,93 @@ def test_canonicalize_idempotent(host_i, path, suffix):
     if once is not None:
         assert canonicalize(once, None) == once
         assert canonicalize(once, "https://other.test/base") == once  # absolute wins
+
+
+# ---------------------------------------------------------------- cuckoo
+# Kernel-level property test (pure numpy, no Spark). Precise delete
+# semantics of a deduplicating fingerprint filter: an insert that was
+# SKIPPED because an existing entry already matched (fingerprint false
+# positive at insert time) leaves that key RELIANT on the colliding entry;
+# deleting the entry's owner may orphan reliant keys. For every key whose
+# insert physically landed (ins == 1), membership must survive ANY
+# interleaving of contract-honoring deletes (only inserted keys deleted) —
+# zero false negatives outside the reliant set. This is exactly why
+# CrawlEngine.expire_urls rebuilds touched shards instead of calling the
+# O(expired) delete primitive. A companion test pins the non-contract
+# caveat (deleting a never-inserted colliding key evicts a member).
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.integers(min_value=-(2**62), max_value=2**62)),
+        max_size=300,
+    )
+)
+def test_cuckoo_kernel_random_ops_no_false_negatives(ops):
+    import numpy as np
+
+    from goprowl_spark.seen_filter import (
+        _cuckoo_contains,
+        _cuckoo_delete,
+        _cuckoo_empty,
+        _cuckoo_insert,
+    )
+
+    nb, cap = 16, 2  # tiny geometry so evictions, skips, and stash engage
+    table, stash = _cuckoo_empty(nb, cap)
+    live: list[int] = []
+    reliant: set[int] = set()  # keys whose insert was fingerprint-skipped
+    for is_insert, key in ops:
+        if is_insert:
+            arr = np.array([key], dtype=np.int64)
+            table, stash, ins = _cuckoo_insert(table, stash, nb, cap, arr)
+            if key not in live:
+                live.append(key)
+                if ins == 0:
+                    reliant.add(key)
+        elif live:
+            # contract: delete only keys that were inserted — pick one
+            # deterministically from the live set
+            victim = live[key % len(live)]
+            arr = np.array([victim], dtype=np.int64)
+            table, stash, _ = _cuckoo_delete(table, stash, nb, cap, arr)
+            live.remove(victim)
+            reliant.discard(victim)
+    if live:
+        probe = np.array(sorted(set(live)), dtype=np.int64)
+        hits = _cuckoo_contains(table, stash, nb, cap, probe)
+        missing = {int(k) for k, h in zip(probe, hits) if not h}
+        assert missing <= reliant, (
+            f"false negative outside the reliant set: {missing - reliant}"
+        )
+
+
+def test_cuckoo_kernel_noncontract_delete_caveat():
+    """The documented reason deletes must go through the exact seen table:
+    keys 0 and 16 share fingerprint AND bucket at nb=16 (both hash to
+    fp=1, b1=0), so deleting never-inserted 0 evicts member 16. This pins
+    the caveat is REAL — the engine contract exists because of it."""
+    import numpy as np
+
+    from goprowl_spark.seen_filter import (
+        _cuckoo_contains,
+        _cuckoo_delete,
+        _cuckoo_empty,
+        _cuckoo_insert,
+    )
+
+    nb, cap = 16, 2
+    table, stash = _cuckoo_empty(nb, cap)
+    table, stash, _ = _cuckoo_insert(
+        table, stash, nb, cap, np.array([16], dtype=np.int64)
+    )
+    assert _cuckoo_contains(table, stash, nb, cap, np.array([16], dtype=np.int64)).all()
+    # non-member 0 collides with 16 → tests as member → delete evicts 16
+    table, stash, removed = _cuckoo_delete(
+        table, stash, nb, cap, np.array([0], dtype=np.int64)
+    )
+    assert removed == 1
+    assert not _cuckoo_contains(
+        table, stash, nb, cap, np.array([16], dtype=np.int64)
+    ).any()
