@@ -62,6 +62,12 @@ class CrawlConfig:
     # the slowest task gates the whole wave. The repartition shuffles only
     # (url, depth) rows, negligible next to the per-URL fetch/parse work.
     fetch_tasks_per_core: int = 3
+    # frontier priority at discovery time: a Column expression over
+    # (url, host, depth) Columns — e.g. a PageRank/host-reputation score —
+    # consumed by the budgeted pop's (priority desc, depth, url) order
+    # (W2). None = the BFS default, -depth. Priorities are DATA, so crawl
+    # ordering stays deterministic and trace-testable under any function.
+    priority_fn: "Callable[[Column, Column, Column], Column] | None" = None
     # ...but task count never exceeds what the batch can fill: small early
     # rounds are BARRIER-bound, not straggler-bound (measured: a 75k-URL
     # round 1 ran its fetch wave at 3.5x worse per-URL throughput than the
@@ -669,13 +675,18 @@ class CrawlEngine:
         # tables at it with per-table column projections (one physical
         # write instead of two — the seen write and, unbudgeted, the
         # frontier write were projections of the same rows).
+        prio = (
+            cfg.priority_fn(F.col("url"), F.col("host"), F.col("depth"))
+            if cfg.priority_fn is not None
+            else -F.col("depth")
+        )
         new_entries = (
             unseen.select(
                 "url",
                 "url_hash",
                 "host",
                 "depth",
-                (-F.col("depth")).cast("double").alias("priority"),
+                prio.cast("double").alias("priority"),
                 F.lit(r).alias("discovered_round"),
                 F.lit(r).alias("first_seen_round"),
             )

@@ -53,6 +53,7 @@ def crawl_oracle(
     default_budget: int | None = None,
     robots: dict[str, list[str]] | None = None,
     max_rounds: int | None = None,
+    priority_fn=None,
 ):
     """Returns (rounds, seen, documents):
     rounds    — list of sorted url-lists popped per round (round 1..R)
@@ -112,6 +113,7 @@ def crawl_oracle(
                 continue
             d = candidates[link]
             seen[link] = (d, r)
-            frontier[link] = (d, -float(d))
+            prio = priority_fn(link, host, d) if priority_fn else -float(d)
+            frontier[link] = (d, prio)
 
     return rounds, seen, documents

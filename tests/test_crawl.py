@@ -430,3 +430,36 @@ def test_expire_forget_organic_rediscovery(spark, tmp_path, kind):
     doc = engine.documents().where(F.col("doc_id") == x).collect()[0]
     assert doc["fetched_round"] == r_done + 2  # fetched the round after
     assert [tuple(s) for s in doc["spans"]] == old_spans
+
+
+def test_priority_fn_drives_budgeted_pop_order(spark, tmp_path):
+    """A custom discovery-time priority (here: prefer LEXICALLY LARGEST
+    url per host — the reverse of the BFS tie-break) changes which urls a
+    budgeted pop selects each round; the engine must match the oracle
+    under the same function, proving W2's order is driven by data."""
+
+    # a pure function both sides express identically: priority = page
+    # index mod 7, extracted from the url's trailing integer
+    def spark_prio2(url, host, depth):
+        idx = F.regexp_extract(url, r"/p/(\d+)$", 1).cast("long")
+        return (idx % 7).cast("double")
+
+    def py_prio2(url, host, depth):
+        import re
+
+        idx = int(re.search(r"/p/(\d+)$", url).group(1))
+        return float(idx % 7)
+
+    seeds = [corpus.url(0)]
+    cfg = CrawlConfig(
+        seeds=seeds, max_depth=3, default_budget=2, priority_fn=spark_prio2
+    )
+    engine = make_engine(spark, tmp_path, cfg)
+    engine.run(max_rounds=8)
+    oracle = crawl_oracle(
+        N, seeds, 3, default_budget=2, max_rounds=8, priority_fn=py_prio2
+    )
+    assert_trace_equal(engine, oracle)
+    # sanity: the custom priority actually changed the trace vs BFS default
+    bfs = crawl_oracle(N, seeds, 3, default_budget=2, max_rounds=8)
+    assert oracle[0] != bfs[0], "priority function had no observable effect"
