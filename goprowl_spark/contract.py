@@ -99,6 +99,30 @@ def q_crawl_bfs_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_cuckoo_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME full BFS crawl on the cuckoo seen-filter backend
+    (CrawlConfig.filter_kind="cuckoo": fingerprint tables instead of Bloom
+    bit arrays in the fused probe+update cogroup). The filter only prunes
+    the probe side — exactness comes from the anti-join — so the seen set
+    must value-hash IDENTICALLY against the same recursive-CTE oracle as
+    crawl_bfs_seen; a driver-green row here certifies the whole alternate
+    kernel end-to-end, not just its unit tests."""
+    n = _docs(spark, sf_dir).count() * CORPUS_MULT
+    eng = CrawlEngine(
+        spark,
+        None,
+        tempfile.mkdtemp(prefix="goprowl_crawl_ck_"),
+        CrawlConfig(seeds=[corpus.url(0)], max_depth=BFS_DEPTH, filter_kind="cuckoo"),
+        fetcher=corpus.make_fetcher(n),
+    )
+    eng.run()
+    return (
+        eng.seen()
+        .select("url", F.col("depth").cast("int").alias("depth"))
+        .orderBy("url")
+    )
+
+
 def q_crawl_budget_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-budget-constrained crawl (per-host top-k pop, W1): the
     seen-set after 12 rounds at ≤5 fetches/host/round. Oracle: the round
@@ -1742,6 +1766,10 @@ ORACLES: dict[str, str | None] = {
     "crawl_bfs_seen": corpus.bfs_oracle_sql(
         f"(SELECT count(*)*{CORPUS_MULT} FROM documents)", seed=0, max_depth=BFS_DEPTH
     ),
+    # same crawl, cuckoo filter backend — backend must not change output
+    "crawl_cuckoo_seen": corpus.bfs_oracle_sql(
+        f"(SELECT count(*)*{CORPUS_MULT} FROM documents)", seed=0, max_depth=BFS_DEPTH
+    ),
     "crawl_budget_seen": corpus.budget_bfs_oracle_sql(
         f"(SELECT count(*)*{CORPUS_MULT} FROM documents)",
         seed=0,
@@ -1974,13 +2002,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     })
     qs.update({
         "crawl_bfs_seen": q_crawl_bfs_seen,
+        "crawl_cuckoo_seen": q_crawl_cuckoo_seen,
         "crawl_budget_seen": q_crawl_budget_seen,
         "crawl_delay_seen": q_crawl_delay_seen,
         "search_boosted": q_search_boosted,
         "metadata_filter": q_metadata_filter,
         "permission_filter": q_permission_filter,
         "search_facets": q_search_facets,
-        "suggest_prefix": q_suggest_prefix,
         "postings": q_postings,
         "tfidf_search": q_tfidf,
         "bm25_search": q_bm25,
@@ -2019,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by the same operators elsewhere in the window, re-verifiable locally
     # via tools/check_contract.py in seconds
     qs.update({
+        "suggest_prefix": q_suggest_prefix,
         "doc_stats": q_doc_stats,
         "broadcast_join_agg": q_broadcast_join_agg,
         "set_except": q_set_except,

@@ -103,6 +103,10 @@ STABLE_ROTATION = {
     # exercised in-window by every ranked-search query (tfidf/bm25 build
     # doc stats internally)
     "doc_stats",
+    # rotated to admit crawl_cuckoo_seen (the alternate seen-filter
+    # kernel's end-to-end driver row); suggest_prefix is r3-driver-green
+    # and trivially re-verifiable (prefix scan over the cached vocab)
+    "suggest_prefix",
 }
 
 
