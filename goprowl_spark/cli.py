@@ -135,9 +135,14 @@ def cmd_curate(args) -> int:
         scored = dedup_ops.decontaminate(
             docs, spark.read.parquet(args.eval_input), k=args.decon_k
         )
-        dirty = scored.where(
-            F.col("contamination_frac") > args.decon_max_frac
-        ).select("doc_id")
+        # persist the (small) dirty id set: the corpus-wide window scan is
+        # the command's most expensive stage and must run once, not once
+        # for the count and again inside the curation join
+        dirty = (
+            scored.where(F.col("contamination_frac") > args.decon_max_frac)
+            .select("doc_id")
+            .persist()
+        )
         n_contaminated = dirty.count()
         docs = docs.join(F.broadcast(dirty), "doc_id", "left_anti")
     mix = curation.curation_pipeline(

@@ -1146,7 +1146,7 @@ def _anchor_stats_oracle() -> str:
         )
 
     tgt = f"((p.i*7 + jj.j*13 + 1) % {n})"
-    edge_key = "src || '|' || anchor"
+    edge_key = "coalesce(src, '') || '|' || coalesce(anchor, '')"
     return f"""
 WITH pages AS (
   SELECT i FROM range({n}) t(i) WHERE i % 97 <> 33 AND i % 131 <> 57

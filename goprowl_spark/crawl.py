@@ -248,8 +248,8 @@ class CrawlEngine:
           bounded by the touched shards' membership (seen/n_buckets rows
           per shard), never the whole filter. The cuckoo backend's
           O(expired) fingerprint delete (delete_cuckoos) is deliberately
-          NOT used here: it is only sound when no other member's insert
-          was fingerprint-skipped against the deleted entry (see its
+          NOT used here: it is only sound when the deleted key shares no
+          fingerprint+bucket ambiguity with another live member (see its
           contract), a condition the engine cannot verify cheaply.
         * ``reenqueue=True`` (forced refetch): drop the stale document
           rows and push the urls back into the frontier at their original
@@ -276,6 +276,13 @@ class CrawlEngine:
         if n_expired == 0:
             expired.unpersist()
             return 0
+        # the urls may still be frontier-resident (mid-crawl expiry): both
+        # modes must drop those rows — forget to preserve frontier ⊆ seen
+        # (a popped-but-unseen url would re-document under the same
+        # doc_id), reenqueue to avoid a second frontier row popping the
+        # url twice in one unbudgeted round
+        frontier = self.frontier()
+        n_in_frontier = frontier.join(urls_df, "url", "left_semi").count()
 
         sid = self.catalog.next_sid()
         docs_path = self.catalog.stage_path(sid, "documents")
@@ -294,10 +301,10 @@ class CrawlEngine:
         if cfg.use_bloom and not reenqueue:
             # Rebuild ONLY the touched shards from the surviving seen rows —
             # exact by construction for BOTH backends. A bare fingerprint
-            # delete (delete_cuckoos) is O(expired) but unsound when another
-            # member's insert was fingerprint-skipped against the deleted
-            # entry (see delete_cuckoos' contract and
-            # tests/test_properties.py::test_cuckoo_kernel_noncontract_delete_caveat);
+            # delete (delete_cuckoos) is O(expired) but unsound whenever the
+            # deleted key shares fingerprint+bucket ambiguity with another
+            # live member (see delete_cuckoos' contract and the property
+            # tests in tests/test_properties.py);
             # a Bloom bit can never be cleared at all. Shard-scoped rebuild
             # costs O(seen rows hashing to touched shards) — at 4096 shards
             # and a handful of expired urls that is seen/4096 per shard, not
@@ -363,21 +370,36 @@ class CrawlEngine:
             tables["doc_stats"] = stats_path
 
         n_frontier = int(props.get("frontier_count", 0))
+        frontier_rest = frontier.join(urls_df, "url", "left_anti")
+        frontier_path = self.catalog.stage_path(sid, "frontier")
         if reenqueue:
-            frontier_path = self.catalog.stage_path(sid, "frontier")
+            prio = (
+                cfg.priority_fn(F.col("url"), F.col("host"), F.col("depth"))
+                if cfg.priority_fn is not None
+                else -F.col("depth")
+            )
             requeued = expired.select(
                 "url",
                 "url_hash",
                 F.parse_url("url", F.lit("HOST")).alias("host"),
                 "depth",
-                F.lit(0.0).alias("priority"),
+            ).select(
+                "url",
+                "url_hash",
+                "host",
+                "depth",
+                prio.cast("double").alias("priority"),
                 F.lit(r).alias("discovered_round"),
             )
-            self.frontier().unionByName(requeued).write.mode(
-                "overwrite"
-            ).parquet(frontier_path)
+            frontier_rest.unionByName(requeued).write.mode("overwrite").parquet(
+                frontier_path
+            )
             tables["frontier"] = frontier_path
-            n_frontier += n_expired
+            n_frontier += n_expired - n_in_frontier
+        elif n_in_frontier:
+            frontier_rest.write.mode("overwrite").parquet(frontier_path)
+            tables["frontier"] = frontier_path
+            n_frontier -= n_in_frontier
         expired.unpersist()
 
         seen_count = int(props.get("seen_count", 0))

@@ -140,7 +140,17 @@ def anchor_stats(links: DataFrame, checksum_mod: int = 1000003) -> DataFrame:
     """
     from goprowl_spark.operators.dedup import h60
 
-    edge_h = h60(F.concat_ws("|", F.col("src"), F.col("anchor")))
+    # explicit concat over coalesced inputs: concat_ws SKIPS nulls (a null
+    # anchor would hash as bare src) while SQL `||` nulls out — coalesce
+    # to '' keeps the Spark checksum and the DuckDB twin identical on
+    # null-bearing edges
+    edge_h = h60(
+        F.concat(
+            F.coalesce(F.col("src"), F.lit("")),
+            F.lit("|"),
+            F.coalesce(F.col("anchor"), F.lit("")),
+        )
+    )
     return (
         links.select(
             F.col("target"),

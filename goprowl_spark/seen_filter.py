@@ -232,9 +232,10 @@ def probe_and_update(
 
     def fused(key, cand: pd.DataFrame, blobs: pd.DataFrame) -> pd.DataFrame:
         out = []
+        nb, cap = CUCKOO_INNER_BUCKETS, CUCKOO_SLOT_CAP
         if blobs.empty:
             if cuckoo:
-                table, stash = _cuckoo_empty(CUCKOO_INNER_BUCKETS, CUCKOO_SLOT_CAP)
+                table, stash = _cuckoo_empty(nb, cap)
             else:
                 blob = np.zeros(bits_per_bucket >> 3, dtype=np.uint8)
             n = 0
@@ -242,7 +243,8 @@ def probe_and_update(
         else:
             blob, n = _latest_blob(blobs)
             if cuckoo:
-                table, stash, _, _ = _cuckoo_decode(blob.tobytes())
+                # header geometry is authoritative (see update_cuckoos)
+                table, stash, nb, cap = _cuckoo_decode(blob.tobytes())
             have_blob = True
         if dedup and not cand.empty:
             # per-url min depth, deterministic (stable sort; url unique
@@ -258,9 +260,7 @@ def probe_and_update(
             if not have_blob:
                 seen_flags = np.zeros(len(arr), dtype=bool)
             elif cuckoo:
-                seen_flags = _cuckoo_contains(
-                    table, stash, CUCKOO_INNER_BUCKETS, CUCKOO_SLOT_CAP, arr
-                )
+                seen_flags = _cuckoo_contains(table, stash, nb, cap, arr)
             else:
                 seen_flags = _test_bits(blob, arr, bits_per_bucket)
             out.append(
@@ -273,9 +273,7 @@ def probe_and_update(
                 )
             )
             if cuckoo:
-                table, stash, ins = _cuckoo_insert(
-                    table, stash, CUCKOO_INNER_BUCKETS, CUCKOO_SLOT_CAP, arr
-                )
+                table, stash, ins = _cuckoo_insert(table, stash, nb, cap, arr)
                 n += ins
             else:
                 _set_bits(blob, arr, bits_per_bucket)
@@ -285,7 +283,7 @@ def probe_and_update(
             blob_row["__bucket"] = [key[0]]
             blob_row["maybe_seen"] = [None]
             blob_row["filter_blob"] = [
-                _cuckoo_encode(table, stash, CUCKOO_INNER_BUCKETS, CUCKOO_SLOT_CAP)
+                _cuckoo_encode(table, stash, nb, cap)
                 if cuckoo
                 else blob.tobytes()
             ]
@@ -341,11 +339,20 @@ _CUCKOO_HDR = 3  # uint64 header words
 
 def _cuckoo_parts(h: np.ndarray, nb: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(fp, b1, b2) for int64 url hashes: 16-bit fingerprint from the top
-    bits (never 0), partial-key XOR bucket pair from the low bits."""
+    bits (never 0), partial-key XOR bucket pair.
+
+    b1 must NOT reuse the hash's low bits: the shard key is
+    pmod(url_hash, n_buckets), so within one shard the low bits are
+    CONSTANT — `u & (nb-1)` would collapse b1 to nb/n_buckets distinct
+    values per shard (1/64th of the table's primary capacity at the
+    defaults), degrading placement to near-single-choice. A Fibonacci
+    multiply-shift takes the HIGH bits of u*phi, which vary freely within
+    a shard and stay independent of the fp bits."""
     u = h.astype(np.uint64)
     fp = (u >> np.uint64(48)).astype(np.uint16)
     fp = np.where(fp == 0, np.uint16(1), fp)
-    b1 = (u & np.uint64(nb - 1)).astype(np.int64)
+    shift = np.uint64(64 - int(nb).bit_length() + 1)  # 64 - log2(nb)
+    b1 = ((u * np.uint64(0x9E3779B97F4A7C15)) >> shift).astype(np.int64)
     kick = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & np.uint64(nb - 1)
     b2 = (b1.astype(np.uint64) ^ kick).astype(np.int64)
     return fp, b1, b2
@@ -486,15 +493,19 @@ def _cuckoo_delete(
     member test is vectorized; only actual removals touch Python, and a
     delete batch is a maintenance op (recrawl/expiry), not the hot path.
 
-    CONTRACT (standard cuckoo-filter caveat, Fan et al. 2014 §3.2): only
-    delete keys that were actually inserted. A never-inserted key that
-    fingerprint-collides with a member is indistinguishable from it, so
-    deleting it would evict the member's entry — a false negative. This
-    is inherent to every fingerprint filter, not a bug; the crawl's
-    expiry path (CrawlEngine.expire_urls) honors the contract by joining
-    delete candidates against the EXACT seen table first, so only true
-    members ever reach this function. A true non-member (no fingerprint
-    match anywhere) is a safe no-op."""
+    CONTRACT (standard cuckoo-filter caveat, Fan et al. 2014 §3.2):
+    deletion is exact only for keys that hold their OWN entry. Keys
+    sharing a fingerprint and a candidate bucket form an ambiguity class
+    that this deduplicating filter may serve with one physical entry —
+    deleting ANY class member (or a never-inserted look-alike) removes
+    the shared entry and orphans the rest into false negatives, in either
+    direction (tests/test_properties.py pins both the invariant and the
+    caveat). Inherent to every fingerprint filter, not a bug. The crawl's
+    expiry path (CrawlEngine.expire_urls) therefore does NOT call this at
+    all — it rebuilds the touched shards from the exact seen table. Use
+    this primitive when ambiguity is acceptable (a rare spurious
+    re-crawl) or provably absent. A true non-member (no fingerprint match
+    anywhere) is a safe no-op."""
     h = np.unique(h)
     member = _cuckoo_contains(table, stash, nb, cap, h)
     h = h[member]
@@ -552,21 +563,23 @@ def update_cuckoos(
         if hashes.empty and not (emit_untouched and not blobs.empty):
             return empty
         if blobs.empty:
-            table, stash = _cuckoo_empty(inner_buckets, slot_cap)
+            nb, cap = inner_buckets, slot_cap
+            table, stash = _cuckoo_empty(nb, cap)
             n = 0
         else:
+            # an existing blob's header is authoritative: the args only
+            # size FRESH shards (a geometry mismatch would misaddress
+            # every stored fingerprint — silent false negatives)
             blob, n = _latest_blob(blobs)
-            table, stash, _, _ = _cuckoo_decode(blob.tobytes())
+            table, stash, nb, cap = _cuckoo_decode(blob.tobytes())
         arr = hashes["url_hash"].to_numpy(dtype=np.int64)
         ins = 0
         if len(arr):
-            table, stash, ins = _cuckoo_insert(
-                table, stash, inner_buckets, slot_cap, arr
-            )
+            table, stash, ins = _cuckoo_insert(table, stash, nb, cap, arr)
         return pd.DataFrame(
             {
                 "bucket": [key[0]],
-                "filter_blob": [_cuckoo_encode(table, stash, inner_buckets, slot_cap)],
+                "filter_blob": [_cuckoo_encode(table, stash, nb, cap)],
                 "n_items": [n + ins],
                 "gen": [gen],
             }
@@ -583,8 +596,6 @@ def delete_cuckoos(
     seen_cuckoo: DataFrame,
     del_hashes: DataFrame,
     n_buckets: int = DEFAULT_N_BUCKETS,
-    inner_buckets: int = CUCKOO_INNER_BUCKETS,
-    slot_cap: int = CUCKOO_SLOT_CAP,
     gen: int = 0,
 ) -> DataFrame:
     """Remove url hashes from their shard's filter — the recrawl/expiry
@@ -607,15 +618,14 @@ def delete_cuckoos(
         if hashes.empty or blobs.empty:
             return empty
         blob, n = _latest_blob(blobs)
-        table, stash, _, _ = _cuckoo_decode(blob.tobytes())
+        # header geometry is authoritative (see update_cuckoos)
+        table, stash, nb, cap = _cuckoo_decode(blob.tobytes())
         arr = hashes["url_hash"].to_numpy(dtype=np.int64)
-        table, stash, removed = _cuckoo_delete(
-            table, stash, inner_buckets, slot_cap, arr
-        )
+        table, stash, removed = _cuckoo_delete(table, stash, nb, cap, arr)
         return pd.DataFrame(
             {
                 "bucket": [key[0]],
-                "filter_blob": [_cuckoo_encode(table, stash, inner_buckets, slot_cap)],
+                "filter_blob": [_cuckoo_encode(table, stash, nb, cap)],
                 "n_items": [n - removed],
                 "gen": [gen],
             }

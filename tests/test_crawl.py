@@ -463,3 +463,35 @@ def test_priority_fn_drives_budgeted_pop_order(spark, tmp_path):
     # sanity: the custom priority actually changed the trace vs BFS default
     bfs = crawl_oracle(N, seeds, 3, default_budget=2, max_rounds=8)
     assert oracle[0] != bfs[0], "priority function had no observable effect"
+
+
+@pytest.mark.parametrize("kind", ["cuckoo", "bloom"])
+def test_expire_mid_crawl_keeps_frontier_consistent(spark, tmp_path, kind):
+    """Expiring a url that is still FRONTIER-RESIDENT (mid-crawl) must
+    drop its frontier row too: forget mode would otherwise pop an unseen
+    url (duplicate doc_id after organic rediscovery), and reenqueue mode
+    would pop the url twice in one unbudgeted round."""
+    seeds = [corpus.url(0)]
+    cfg = CrawlConfig(seeds=seeds, max_depth=3, filter_kind=kind)
+    engine = make_engine(spark, tmp_path / kind, cfg)
+    engine.start()
+    engine.crawl_round()  # frontier now holds the depth-1 discoveries
+    frontier_urls = sorted(r["url"] for r in engine.frontier().collect())
+    assert len(frontier_urls) >= 2
+    x, y = frontier_urls[0], frontier_urls[1]
+
+    # forget a frontier-resident url: leaves BOTH seen and frontier
+    assert engine.expire_urls([x]) == 1
+    assert engine.frontier().where(F.col("url") == x).count() == 0
+    assert engine.seen().where(F.col("url") == x).count() == 0
+
+    # reenqueue a frontier-resident url: exactly ONE frontier row survives
+    assert engine.expire_urls([y], reenqueue=True) == 1
+    assert engine.frontier().where(F.col("url") == y).count() == 1
+
+    engine.run()
+    docs = engine.documents()
+    assert docs.count() == docs.select("doc_id").distinct().count()
+    # every document's url is in the seen set (frontier ⊆ seen held)
+    missing = docs.join(engine.seen(), docs["doc_id"] == F.col("url"), "left_anti")
+    assert missing.count() == 0

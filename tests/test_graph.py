@@ -88,6 +88,7 @@ def test_anchor_stats_matches_python_twin(spark):
         ("c", "y", "click here"),
         ("b", "y", "y!"),
         ("b", "y", "y again"),
+        ("c", "y", None),           # null anchor: hashes as 'c|', not 'c'
     ]
     df = spark.createDataFrame(edges, "src string, target string, anchor string")
 
@@ -100,8 +101,8 @@ def test_anchor_stats_matches_python_twin(spark):
         want[t] = (
             len(es),
             len({e[0] for e in es}),
-            len({e[2] for e in es}),
-            sum(h60(f"{e[0]}|{e[2]}") % 1000003 for e in es),
+            len({e[2] for e in es if e[2] is not None}),
+            sum(h60(f"{e[0]}|{e[2] or ''}") % 1000003 for e in es),
         )
     got = {
         r["target"]: (

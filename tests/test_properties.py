@@ -115,17 +115,20 @@ def test_canonicalize_idempotent(host_i, path, suffix):
 
 
 # ---------------------------------------------------------------- cuckoo
-# Kernel-level property test (pure numpy, no Spark). Precise delete
-# semantics of a deduplicating fingerprint filter: an insert that was
-# SKIPPED because an existing entry already matched (fingerprint false
-# positive at insert time) leaves that key RELIANT on the colliding entry;
-# deleting the entry's owner may orphan reliant keys. For every key whose
-# insert physically landed (ins == 1), membership must survive ANY
-# interleaving of contract-honoring deletes (only inserted keys deleted) —
-# zero false negatives outside the reliant set. This is exactly why
-# CrawlEngine.expire_urls rebuilds touched shards instead of calling the
-# O(expired) delete primitive. A companion test pins the non-contract
-# caveat (deleting a never-inserted colliding key evicts a member).
+# Kernel-level property tests (pure numpy, no Spark). Precise semantics of
+# a DEDUPLICATING fingerprint filter: keys sharing a fingerprint and a
+# candidate bucket are indistinguishable and may be served by ONE physical
+# entry (an insert that finds its fingerprint already present is skipped).
+# Deleting any member of such an ambiguity class removes the shared entry
+# and can orphan the rest — in either direction (delete the donor, orphan
+# the skipped key; delete the skipped key, orphan the donor). The pinned
+# invariants: (a) with NO deletes, zero false negatives under any insert
+# interleaving at any load; (b) after contract-honoring deletes, a false
+# negative implies fingerprint+bucket ambiguity with some DELETED key.
+# This is exactly why CrawlEngine.expire_urls rebuilds touched shards from
+# the exact seen table instead of calling the O(expired) delete primitive.
+# A companion test pins the non-contract caveat (deleting a never-inserted
+# colliding key evicts a member).
 
 
 @settings(max_examples=60, deadline=None)
@@ -143,20 +146,19 @@ def test_cuckoo_kernel_random_ops_no_false_negatives(ops):
         _cuckoo_delete,
         _cuckoo_empty,
         _cuckoo_insert,
+        _cuckoo_parts,
     )
 
     nb, cap = 16, 2  # tiny geometry so evictions, skips, and stash engage
     table, stash = _cuckoo_empty(nb, cap)
     live: list[int] = []
-    reliant: set[int] = set()  # keys whose insert was fingerprint-skipped
+    deleted: list[int] = []
     for is_insert, key in ops:
         if is_insert:
             arr = np.array([key], dtype=np.int64)
-            table, stash, ins = _cuckoo_insert(table, stash, nb, cap, arr)
+            table, stash, _ = _cuckoo_insert(table, stash, nb, cap, arr)
             if key not in live:
                 live.append(key)
-                if ins == 0:
-                    reliant.add(key)
         elif live:
             # contract: delete only keys that were inserted — pick one
             # deterministically from the live set
@@ -164,21 +166,38 @@ def test_cuckoo_kernel_random_ops_no_false_negatives(ops):
             arr = np.array([victim], dtype=np.int64)
             table, stash, _ = _cuckoo_delete(table, stash, nb, cap, arr)
             live.remove(victim)
-            reliant.discard(victim)
-    if live:
-        probe = np.array(sorted(set(live)), dtype=np.int64)
-        hits = _cuckoo_contains(table, stash, nb, cap, probe)
-        missing = {int(k) for k, h in zip(probe, hits) if not h}
-        assert missing <= reliant, (
-            f"false negative outside the reliant set: {missing - reliant}"
+            deleted.append(victim)
+    if not live:
+        return
+    probe = np.array(sorted(set(live)), dtype=np.int64)
+    hits = _cuckoo_contains(table, stash, nb, cap, probe)
+    missing = [int(k) for k, h in zip(probe, hits) if not h]
+    if not deleted:
+        assert not missing, f"false negatives with no deletes: {missing}"
+        return
+
+    def parts(k):
+        fp, b1, b2 = _cuckoo_parts(np.array([k], dtype=np.int64), nb)
+        return int(fp[0]), {int(b1[0]), int(b2[0])}
+
+    for m in missing:
+        mfp, mb = parts(m)
+        assert any(
+            dfp == mfp and (db & mb) for dfp, db in map(parts, deleted)
+        ), (
+            f"false negative {m} shares no fingerprint+bucket ambiguity "
+            f"with any deleted key {deleted}"
         )
 
 
 def test_cuckoo_kernel_noncontract_delete_caveat():
     """The documented reason deletes must go through the exact seen table:
-    keys 0 and 16 share fingerprint AND bucket at nb=16 (both hash to
-    fp=1, b1=0), so deleting never-inserted 0 evicts member 16. This pins
-    the caveat is REAL — the engine contract exists because of it."""
+    at nb=16, keys 7 and 0 share fingerprint 1 and their XOR bucket pairs
+    coincide ({5,0} and {0,5}), so deleting never-inserted 0 evicts member
+    7. This pins the caveat is REAL — the engine contract exists because
+    of it. (The pair is derived from _cuckoo_parts' multiply-shift b1; the
+    kernel asserts the collision still holds so a hash change re-derives
+    it instead of silently passing.)"""
     import numpy as np
 
     from goprowl_spark.seen_filter import (
@@ -186,19 +205,27 @@ def test_cuckoo_kernel_noncontract_delete_caveat():
         _cuckoo_delete,
         _cuckoo_empty,
         _cuckoo_insert,
+        _cuckoo_parts,
     )
 
     nb, cap = 16, 2
+    member, intruder = 7, 0
+    fp, b1, b2 = _cuckoo_parts(np.array([member, intruder], dtype=np.int64), nb)
+    assert fp[0] == fp[1], "pair no longer collides — re-derive it"
+    assert {int(b1[0]), int(b2[0])} & {int(b1[1]), int(b2[1])}
+
     table, stash = _cuckoo_empty(nb, cap)
     table, stash, _ = _cuckoo_insert(
-        table, stash, nb, cap, np.array([16], dtype=np.int64)
+        table, stash, nb, cap, np.array([member], dtype=np.int64)
     )
-    assert _cuckoo_contains(table, stash, nb, cap, np.array([16], dtype=np.int64)).all()
-    # non-member 0 collides with 16 → tests as member → delete evicts 16
+    assert _cuckoo_contains(
+        table, stash, nb, cap, np.array([member], dtype=np.int64)
+    ).all()
+    # the never-inserted intruder tests as member → delete evicts the member
     table, stash, removed = _cuckoo_delete(
-        table, stash, nb, cap, np.array([0], dtype=np.int64)
+        table, stash, nb, cap, np.array([intruder], dtype=np.int64)
     )
     assert removed == 1
     assert not _cuckoo_contains(
-        table, stash, nb, cap, np.array([16], dtype=np.int64)
+        table, stash, nb, cap, np.array([member], dtype=np.int64)
     ).any()
