@@ -291,8 +291,8 @@ class CrawlEngine:
         ).write.mode("overwrite").parquet(docs_path)
         tables = {"documents": docs_path}
 
-        seen_path = self.catalog.stage_path(sid, "seen")
         if not reenqueue:
+            seen_path = self.catalog.stage_path(sid, "seen")
             seen.join(urls_df, "url", "left_anti").write.mode(
                 "overwrite"
             ).parquet(seen_path)
