@@ -726,7 +726,12 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = similarity.cosine_pairs(_emb(spark, sf_dir), threshold=0.5)
+    # threshold 0.4: the test embeddings' max within-block cosine is ~0.45
+    # (sf0.001) / ~0.47 (sf0.01), so 0.5 matched zero rows and the gate row
+    # was vacuous; 0.4 selects a small non-empty pair set (5 rows at both
+    # SFs) with >1e-3 clearance to the nearest cosine on either side of the
+    # cut, so the Spark/DuckDB boundary decision can't flap on float noise.
+    pairs = similarity.cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     ).orderBy("id_a", "id_b")
@@ -1327,7 +1332,7 @@ pairs AS (
 )
 SELECT id_a, id_b, round(dot / (na * nb), 6) AS cosine
 FROM pairs
-WHERE dot / (na * nb) >= 0.5
+WHERE dot / (na * nb) >= 0.4
 ORDER BY id_a, id_b
 """
 

@@ -113,10 +113,31 @@ class CrawlEngine:
         cmd/crawl.go:113) as a declarative per-round stage."""
         if corpus is None and fetcher is None:
             raise ValueError("need a corpus table or a fetcher")
+        if config.filter_kind not in ("bloom", "cuckoo"):
+            raise ValueError(f"unknown filter_kind {config.filter_kind!r}")
         self.spark = spark
         self.corpus = corpus
         self.catalog = SnapshotCatalog(spark, workdir)
         self.config = config
+        # Crash-recovery / resume guard: the seen_bloom blobs are encoded by
+        # whichever kernel wrote them, and the kernels cannot read each
+        # other's payloads — a bloom probe over a cuckoo blob yields SILENT
+        # false negatives (re-admitting already-seen URLs under duplicate
+        # doc_ids); a cuckoo decode of a bloom blob reads garbage geometry.
+        # Every commit records the active kind in the snapshot properties
+        # ("none" when the filter is off, because resuming with a filter
+        # over a filterless workdir would skip the earlier-seen URLs'
+        # filter entries — the same false-negative failure); attaching an
+        # engine with a different kind must fail HERE, not mid-crawl.
+        if self.catalog.latest() is not None:
+            stored = self.catalog.properties().get("filter_kind")
+            if stored is not None and stored != self._filter_kind_prop():
+                raise ValueError(
+                    f"workdir {workdir!r} was crawled with "
+                    f"filter_kind={stored!r}; this engine is configured "
+                    f"for {self._filter_kind_prop()!r} — the seen-filter "
+                    "blobs are not interchangeable between kernels"
+                )
         self.robots_rules = robots_rules
         if (
             config.round_seconds is not None
@@ -138,6 +159,9 @@ class CrawlEngine:
         self.page_handler = page_handler
 
     # ------------------------------------------------------------ state
+
+    def _filter_kind_prop(self) -> str:
+        return self.config.filter_kind if self.config.use_bloom else "none"
 
     def _load(self, name: str, schema) -> DataFrame:
         return self.catalog.load(name, schema=schema)
@@ -216,6 +240,7 @@ class CrawlEngine:
                 "round": 0,
                 "seen_count": len(self.config.seeds),
                 "frontier_count": len(self.config.seeds),
+                "filter_kind": self._filter_kind_prop(),
             },
         )
 
@@ -412,6 +437,7 @@ class CrawlEngine:
                 "round": r,
                 "seen_count": seen_count,
                 "frontier_count": n_frontier,
+                "filter_kind": self._filter_kind_prop(),
             },
         )
         return n_expired
@@ -850,6 +876,7 @@ class CrawlEngine:
                 "round": r,
                 "seen_count": n_seen,
                 "frontier_count": n_frontier - n_popped + n_new,
+                "filter_kind": self._filter_kind_prop(),
             },
         )
         mark("manifest")

@@ -454,10 +454,13 @@ def cuckoo_probe(
     probes = probe_df.select(
         key.alias("key"), fp.alias("fp"), b1.alias("b1")
     ).withColumn("b2", F.col("b1").bitwiseXOR(_cuckoo_kick(F.col("fp"))))
-    # distinct candidate buckets (b1 may equal b2 when the kick lands on 0)
+    # distinct candidate buckets (b1 may equal b2 when the kick lands on 0);
+    # the dropDuplicates mirrors the oracle's `SELECT DISTINCT key, fp,
+    # bucket` cands CTE — without it a probe_df carrying repeated keys
+    # would multiply fp_hits per duplicate row in the groupBy below
     cands = probes.select(
         "key", "fp", F.explode(F.array_distinct(F.array("b1", "b2"))).alias("bucket")
-    )
+    ).dropDuplicates(["key", "fp", "bucket"])
     hits = cands.join(
         F.broadcast(entries.withColumnRenamed("bucket", "ebucket")),
         (F.col("bucket") == F.col("ebucket")) & (F.col("fp") == F.col("efp")),

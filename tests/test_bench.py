@@ -6,8 +6,10 @@ mitigation: every draw does bit-identical work, so per-round minima only
 tighten toward the true cost. The host's co-tenant pressure hits the
 many-core leg almost exclusively (the pinned lo leg repeats within a few
 percent regardless), so a sub-target composite after the default pairs
-buys extra HI-LEG-ONLY draws, each gated on a quick contention probe, up
-to ``BENCH_MAX_HI_EXTRAS``.
+buys extra HI-LEG-ONLY draws, up to ``BENCH_MAX_HI_EXTRAS``. EVERY hi-leg
+launch — the initial pairs included, which round 4 left ungated and paid
+for with a contended seeding window — waits on the quick contention probe
+and records its launch-time penalty in the JSON artifact.
 """
 
 from __future__ import annotations
@@ -89,7 +91,8 @@ def test_adaptive_hi_extra_on_noisy_pair(bench_mod, monkeypatch):
         "composite_of_draws"
     ] == 3
     assert r["crawl"]["hi_extra_draws"] == 1
-    assert r["crawl"]["quiet_probe_penalties"] == [1.1]
+    # one probe per hi-leg launch: 2 initial draws + 1 extra
+    assert r["crawl"]["quiet_probe_penalties"] == [1.1, 1.1, 1.1]
 
 
 def test_no_extra_draw_when_target_met(bench_mod, monkeypatch):
@@ -105,6 +108,12 @@ def test_no_extra_draw_when_target_met(bench_mod, monkeypatch):
     assert _calls(calls, bench_mod) == (2, 2)  # stopped at BENCH_DRAWS pairs
     assert r["crawl_scaling_efficiency"] >= 0.8
     assert r["crawl"]["hi_extra_draws"] == 0
+    # both initial hi legs were still probe-gated
+    assert r["crawl"]["quiet_probe_penalties"] == [1.1, 1.1]
+    # leg order alternates across draws (lo,hi then hi,lo) so a drifting
+    # contention wave cannot systematically land on one leg of every draw
+    lo_c, hi_c = bench_mod.SCALE_CORES_LO, bench_mod.SCALE_CORES_HI
+    assert calls == [lo_c, hi_c, hi_c, lo_c]
 
 
 def test_extra_cap_respected_even_below_target(bench_mod, monkeypatch):

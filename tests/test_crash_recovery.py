@@ -91,3 +91,59 @@ def test_expire_commit_is_a_resumable_checkpoint(spark, tmp_path):
     row = resumed.documents().where(F.col("doc_id") == x).collect()[0]
     assert row["fetched_round"] == r_done + 1
     assert [tuple(s) for s in row["spans"]] == old_spans
+
+
+def test_resume_with_mismatched_filter_kind_fails_fast(spark, tmp_path):
+    """The seen_bloom blobs are kernel-specific: a bloom probe over cuckoo
+    blobs yields SILENT false negatives (duplicate fetches/doc_ids), a
+    cuckoo decode of a bloom blob reads garbage geometry. Every commit
+    records filter_kind in the snapshot properties and attaching an engine
+    with a different kind (or with the filter off over a filtered workdir,
+    and vice versa) must raise at construction, not corrupt mid-crawl."""
+    import pytest
+
+    cfg = CrawlConfig(seeds=[corpus.url(0)], max_depth=2, filter_kind="cuckoo")
+    eng = CrawlEngine(
+        spark, None, str(tmp_path), cfg, fetcher=corpus.make_fetcher(N)
+    )
+    eng.run()
+    assert eng.catalog.properties()["filter_kind"] == "cuckoo"
+
+    for bad in (
+        CrawlConfig(seeds=[corpus.url(0)], max_depth=2, filter_kind="bloom"),
+        CrawlConfig(seeds=[corpus.url(0)], max_depth=2, use_bloom=False),
+    ):
+        with pytest.raises(ValueError, match="filter_kind"):
+            CrawlEngine(
+                spark, None, str(tmp_path), bad, fetcher=corpus.make_fetcher(N)
+            )
+
+    # the matching kind still attaches and resumes
+    resumed = CrawlEngine(
+        spark, None, str(tmp_path), cfg, fetcher=corpus.make_fetcher(N)
+    )
+    assert resumed.current_round() == eng.current_round()
+
+    # unknown kinds are rejected outright
+    with pytest.raises(ValueError, match="unknown filter_kind"):
+        CrawlEngine(
+            spark,
+            None,
+            str(tmp_path),
+            CrawlConfig(seeds=[corpus.url(0)], filter_kind="xor"),
+            fetcher=corpus.make_fetcher(N),
+        )
+
+
+def test_expiry_commit_preserves_filter_kind_property(spark, tmp_path):
+    """expire_urls rewrites snapshot properties wholesale — it must carry
+    the filter_kind tag forward or the guard above goes blind after the
+    first expiry."""
+    cfg = CrawlConfig(seeds=[corpus.url(0)], max_depth=2, filter_kind="cuckoo")
+    eng = CrawlEngine(
+        spark, None, str(tmp_path), cfg, fetcher=corpus.make_fetcher(N)
+    )
+    eng.run()
+    some_url = eng.seen().limit(1).collect()[0]["url"]
+    assert eng.expire_urls([some_url]) == 1
+    assert eng.catalog.properties()["filter_kind"] == "cuckoo"
