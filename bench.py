@@ -72,6 +72,12 @@ QUIET_POLL_SEC = float(os.environ.get("BENCH_QUIET_POLL_SEC", "30"))
 # the N-vs-4N scaling pair; 4/16 leaves scheduler headroom on a 32-core box
 SCALE_CORES_LO = int(os.environ.get("BENCH_CORES_LO", "4"))
 SCALE_CORES_HI = int(os.environ.get("BENCH_CORES_HI", "16"))
+# One extra hi-core draw on the alternate cuckoo seen-filter backend
+# (filter_kind="cuckoo" — fingerprint tables with deletion support, the
+# recrawl/expiry kernel). Parity was measured at small scale; this records
+# its cost at the headline size next to the bloom number. One draw: it is
+# a labeled secondary datum, not a north-rule input.
+BENCH_CUCKOO = os.environ.get("BENCH_CUCKOO", "1") not in ("0", "", "false")
 
 
 def _scratch_base() -> str | None:
@@ -109,7 +115,7 @@ HEADLINE = [
 ]
 
 
-def run_crawl(cores: int) -> dict:
+def run_crawl(cores: int, kind: str = "bloom") -> dict:
     """One full crawl pinned to exactly ``cores`` machine cores.
 
     The whole process tree (JVM task threads AND the Python UDF workers) is
@@ -129,6 +135,7 @@ def run_crawl(cores: int) -> dict:
         os.path.abspath(__file__),
         "--crawl-child",
         str(cores),
+        kind,
     ]
     try:
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
@@ -137,11 +144,11 @@ def run_crawl(cores: int) -> dict:
             print(e.stderr[-2000:], file=sys.stderr)
             raise
         # no taskset: fall back to unpinned in-process run
-        return _crawl_inprocess(cores)
+        return _crawl_inprocess(cores, kind)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def _crawl_inprocess(cores: int) -> dict:
+def _crawl_inprocess(cores: int, kind: str = "bloom") -> dict:
     from pyspark.sql import SparkSession
 
     from goprowl_spark import corpus
@@ -173,7 +180,7 @@ def _crawl_inprocess(cores: int) -> dict:
         spark,
         None,
         warmdir,
-        CrawlConfig(seeds=[corpus.url(0)], max_depth=1),
+        CrawlConfig(seeds=[corpus.url(0)], max_depth=1, filter_kind=kind),
         fetcher=corpus.make_fetcher(CRAWL_N),
     )
     warm.run()
@@ -185,7 +192,7 @@ def _crawl_inprocess(cores: int) -> dict:
         spark,
         None,
         workdir,
-        CrawlConfig(seeds=seeds, max_depth=CRAWL_DEPTH),
+        CrawlConfig(seeds=seeds, max_depth=CRAWL_DEPTH, filter_kind=kind),
         fetcher=corpus.make_fetcher(CRAWL_N),
     )
     t0 = time.time()
@@ -371,7 +378,8 @@ def _wait_quiet(probe_penalties: list[float], why: str) -> float:
 
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--crawl-child":
-        print(json.dumps(_crawl_inprocess(int(sys.argv[2]))))
+        kind = sys.argv[3] if len(sys.argv) > 3 else "bloom"
+        print(json.dumps(_crawl_inprocess(int(sys.argv[2]), kind)))
         return
     draws = []
     hi_extras: list[dict] = []
@@ -420,6 +428,14 @@ def main() -> None:
         hi_extras.append(run_crawl(SCALE_CORES_HI))
         crawl_hi = _composite_leg([hi for _, hi in draws] + hi_extras)
         eff, eff_steady = _eff(crawl_lo, crawl_hi)
+    # alternate-backend datum: one probe-gated hi-core draw on the cuckoo
+    # seen filter (deletion-capable kernel), same seeds/graph — reported
+    # next to the bloom composite so the deletion feature's headline-size
+    # cost is driver-recorded, never folded into the north-rule numbers
+    crawl_cuckoo = None
+    if BENCH_CUCKOO:
+        _wait_quiet(probe_penalties, "cuckoo hi leg")
+        crawl_cuckoo = run_crawl(SCALE_CORES_HI, kind="cuckoo")
     freq_penalty = percore_speed_ratio(SCALE_CORES_LO, SCALE_CORES_HI)
     queries = run_queries()
     result = {
@@ -457,6 +473,17 @@ def main() -> None:
             ),
         },
     }
+    if crawl_cuckoo is not None:
+        result["crawl"]["crawl_cuckoo"] = {
+            **crawl_cuckoo,
+            "filter_kind": "cuckoo",
+            # single-draw cuckoo vs multi-draw bloom composite at the same
+            # core count — ≥1 means the deletion-capable kernel costs
+            # nothing at headline size (a noisy draw can read below 1)
+            "vs_bloom_throughput_ratio": round(
+                crawl_cuckoo["urls_per_sec"] / crawl_hi["urls_per_sec"], 3
+            ),
+        }
     print(json.dumps(result))
 
 

@@ -44,6 +44,9 @@ def bench_mod(monkeypatch):
     monkeypatch.setenv("BENCH_DRAWS", "2")
     monkeypatch.setenv("BENCH_MAX_HI_EXTRAS", "3")
     monkeypatch.setenv("BENCH_QUIET_WAIT_SEC", "0")  # no waiting in tests
+    # the alternate-backend cuckoo draw is its own test below; the
+    # call-count pins here cover the north-rule bloom legs only
+    monkeypatch.setenv("BENCH_CUCKOO", "0")
     import bench
 
     mod = importlib.reload(bench)
@@ -130,6 +133,35 @@ def test_extra_cap_respected_even_below_target(bench_mod, monkeypatch):
     assert _calls(calls, bench_mod) == (2, 2 + 3)
     assert r["crawl_scaling_efficiency"] < 0.8  # honest: not forced up
     assert r["crawl"]["hi_extra_draws"] == 3
+
+
+def test_cuckoo_leg_recorded(bench_mod, monkeypatch):
+    # BENCH_CUCKOO on: exactly one extra hi-core draw with the cuckoo
+    # backend, probe-gated, recorded under crawl.crawl_cuckoo with the
+    # vs-bloom throughput ratio — and excluded from the north-rule numbers
+    monkeypatch.setattr(bench_mod, "BENCH_CUCKOO", True)
+    calls: list[tuple[int, str]] = []
+
+    def quiet(cores: int, kind: str = "bloom") -> dict:
+        calls.append((cores, kind))
+        wall = 400.0 if cores == bench_mod.SCALE_CORES_LO else 118.0
+        if kind == "cuckoo":
+            wall = 130.0
+        return _leg(cores, wall)
+
+    monkeypatch.setattr(bench_mod, "run_crawl", quiet)
+    r = _run_main(bench_mod)
+    assert calls.count((bench_mod.SCALE_CORES_HI, "cuckoo")) == 1
+    assert all(k == "bloom" for c, k in calls if c == bench_mod.SCALE_CORES_LO)
+    cc = r["crawl"]["crawl_cuckoo"]
+    assert cc["filter_kind"] == "cuckoo"
+    assert cc["vs_bloom_throughput_ratio"] == pytest.approx(
+        (2000 / 130.0) / (2000 / 118.0), abs=0.01
+    )
+    # the cuckoo draw does not perturb the bloom composite or efficiency
+    assert r["crawl"][f"local{bench_mod.SCALE_CORES_HI}"]["seconds"] == 118.0
+    # its launch was probe-gated like every hi leg: 2 initial + 1 cuckoo
+    assert r["crawl"]["quiet_probe_penalties"] == [1.1, 1.1, 1.1]
 
 
 def test_composite_uses_per_round_minima(bench_mod):
