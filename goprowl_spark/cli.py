@@ -243,6 +243,151 @@ def cmd_sketch(args) -> int:
     return 0
 
 
+def cmd_ann(args) -> int:
+    """ANN over an embeddings parquet (vec_id, embedding array<float>):
+    ``build`` persists an index (IVF assignment partitioned by cluster, or
+    PQ codes + codebooks), ``query`` serves top-k neighbors from a built
+    index, ``pairs`` emits exact-cosine-verified near-duplicate pairs.
+    Closes the similarity stack's CLI gap — the curation/stats/sketch
+    commands' sibling for the embedding path."""
+    from goprowl_spark.operators import similarity
+
+    spark = get_spark("goprowl-ann")
+    meta_path = os.path.join(args.index, "meta.json") if args.index else None
+
+    if args.action == "build":
+        emb = spark.read.parquet(args.input)
+        n_vec = emb.count()
+        os.makedirs(args.index, exist_ok=True)
+        if args.method == "ivf":
+            assigned, cents = similarity.build_ivf_index(
+                emb, n_centroids=args.n_centroids, n_iter=args.n_iter
+            )
+            # cluster is the physical partition key, so a query's nprobe
+            # filter becomes partition PRUNING on the serving table (the
+            # 100-TB shape: queries touch nprobe/n_centroids of the data)
+            assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+                os.path.join(args.index, "assigned.parquet")
+            )
+            meta = {
+                "method": "ivf",
+                "centroids": [[cid, list(c)] for cid, c in cents],
+            }
+        else:
+            codes, books = similarity.build_pq_index(
+                emb, m=args.m, k_codes=args.k_codes, n_iter=args.n_iter
+            )
+            # D floats -> m small ints per vector: the serving path reads
+            # ONLY this table; raw vectors never leave the build side
+            codes.write.mode("overwrite").parquet(
+                os.path.join(args.index, "codes.parquet")
+            )
+            meta = {
+                "method": "pq",
+                "codebooks": [
+                    [[cid, list(c)] for cid, c in book] for book in books
+                ],
+            }
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        print(
+            json.dumps(
+                {"built": args.method, "vectors": n_vec, "index": args.index}
+            )
+        )
+        return 0
+
+    if args.action == "query":
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if args.query_vec:
+            qvec = [float(x) for x in args.query_vec.split(",")]
+        elif args.query_id is not None:
+            if not args.input:
+                print(
+                    "error: --query-id needs --input (the embeddings "
+                    "parquet to look the vector up in)",
+                    file=sys.stderr,
+                )
+                return 2
+            row = (
+                spark.read.parquet(args.input)
+                .where(F.col("vec_id") == args.query_id)
+                .select("embedding")
+                .first()
+            )
+            if row is None:
+                print(f"error: vec_id {args.query_id} not found", file=sys.stderr)
+                return 2
+            qvec = [float(x) for x in row["embedding"]]
+        else:
+            print(
+                "error: pass --query-vec v1,v2,... or --query-id ID",
+                file=sys.stderr,
+            )
+            return 2
+        if meta["method"] == "ivf":
+            cents = [(int(cid), list(c)) for cid, c in meta["centroids"]]
+            probe = similarity.probe_clusters_quant(cents, qvec, args.nprobe)
+            assigned = spark.read.parquet(
+                os.path.join(args.index, "assigned.parquet")
+            )
+            hits = similarity.ivf_topk_indexed(assigned, probe, qvec, args.k)
+            score_col = "cosine"
+        else:
+            books = [
+                [(int(cid), list(c)) for cid, c in book]
+                for book in meta["codebooks"]
+            ]
+            codes = spark.read.parquet(os.path.join(args.index, "codes.parquet"))
+            hits = similarity.pq_topk(codes, books, qvec, args.k)
+            score_col = "pq_cosine"
+        out = [
+            {"vec_id": int(r["vec_id"]), "score": float(r[score_col])}
+            for r in hits.collect()
+        ]
+        print(json.dumps({"method": meta["method"], "k": args.k, "hits": out}))
+        return 0
+
+    # pairs
+    if os.path.realpath(args.input) == os.path.realpath(args.output):
+        print(
+            "error: --input and --output resolve to the same path",
+            file=sys.stderr,
+        )
+        return 2
+    emb = spark.read.parquet(args.input)
+    # --method carries the build choices too; for pairs anything that
+    # isn't an explicit "block" means the blocking-free LSH path
+    method = "block" if args.method == "block" else "lsh"
+    if method == "lsh":
+        dim = len(emb.select("embedding").first()["embedding"])
+        pairs = similarity.lsh_cosine_pairs(
+            emb,
+            args.threshold,
+            dim,
+            bands=args.bands,
+            planes_per_band=args.planes_per_band,
+        )
+    else:
+        pairs = similarity.cosine_pairs(
+            emb, args.threshold, block_col=args.block_col
+        )
+    pairs.write.mode("overwrite").parquet(args.output)
+    n_pairs = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "pairs": n_pairs,
+                "threshold": args.threshold,
+                "method": method,
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="goprowl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -318,7 +463,44 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--hh-top", type=int, default=20)
     sk.set_defaults(fn=cmd_sketch)
 
+    an = sub.add_parser("ann")
+    an.add_argument(
+        "action", choices=["build", "query", "pairs"],
+        help="build a persisted index / query it for top-k / emit "
+        "exact-verified near-duplicate pairs",
+    )
+    an.add_argument("--input", default=None, help="embeddings parquet path")
+    an.add_argument("--index", default=None, help="index directory")
+    an.add_argument("--output", default=None, help="pairs parquet path")
+    an.add_argument(
+        "--method", choices=["ivf", "pq", "lsh", "block"], default="ivf",
+        help="build: ivf|pq; pairs: lsh (no blocking column) | block "
+        "(per---block-col self-join)",
+    )
+    an.add_argument("--k", type=int, default=10)
+    an.add_argument("--nprobe", type=int, default=2)
+    an.add_argument("--n-centroids", type=int, default=8)
+    an.add_argument("--n-iter", type=int, default=4)
+    an.add_argument("--m", type=int, default=4, help="PQ subvector count")
+    an.add_argument("--k-codes", type=int, default=8, help="PQ codebook size")
+    an.add_argument("--query-vec", default=None, help="comma-separated floats")
+    an.add_argument("--query-id", type=int, default=None)
+    an.add_argument("--threshold", type=float, default=0.9)
+    an.add_argument("--bands", type=int, default=8)
+    an.add_argument("--planes-per-band", type=int, default=6)
+    an.add_argument("--block-col", default="label")
+    an.set_defaults(fn=cmd_ann)
+
     args = p.parse_args(argv)
+    if args.cmd == "ann":
+        need = {
+            "build": ["input", "index"],
+            "query": ["index"],
+            "pairs": ["input", "output"],
+        }[args.action]
+        missing = [f"--{n}" for n in need if getattr(args, n) is None]
+        if missing:
+            p.error(f"ann {args.action} requires {' '.join(missing)}")
     return args.fn(args)
 
 

@@ -165,3 +165,73 @@ def test_cli_curate_decontaminates(spark, tmp_path, capsys):
     assert out["docs_decontaminated"] == 1
     kept = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
     assert 2 not in kept and {1, 3} <= kept
+
+
+def test_cli_ann_build_query_pairs(spark, tmp_path, capsys):
+    """ann subcommand end-to-end on the testdata embeddings: build an IVF
+    index (cluster-partitioned parquet + JSON meta), query it by vec_id,
+    build a PQ index and query it by literal vector, and emit LSH pairs —
+    parquet in / parquet out, one JSON line per invocation."""
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    ivf_dir = str(tmp_path / "ivf_index")
+    pq_dir = str(tmp_path / "pq_index")
+    pairs_path = str(tmp_path / "pairs.parquet")
+
+    rc = cli.main(
+        ["ann", "build", "--input", emb_path, "--index", ivf_dir,
+         "--method", "ivf", "--n-centroids", "4"]
+    )
+    assert rc == 0
+    built = json.loads(capsys.readouterr().out)
+    assert built["built"] == "ivf" and built["vectors"] > 0
+    # cluster is a physical partition key on the serving table
+    import os as _os
+
+    parts = [
+        d for d in _os.listdir(_os.path.join(ivf_dir, "assigned.parquet"))
+        if d.startswith("cluster=")
+    ]
+    assert len(parts) >= 2
+
+    rc = cli.main(
+        ["ann", "query", "--index", ivf_dir, "--input", emb_path,
+         "--query-id", "3", "--k", "5", "--nprobe", "2"]
+    )
+    assert rc == 0
+    q = json.loads(capsys.readouterr().out)
+    assert q["method"] == "ivf" and len(q["hits"]) == 5
+    # the query vector itself lives in a probed cluster: self-hit first
+    assert q["hits"][0]["vec_id"] == 3
+    assert q["hits"][0]["score"] == pytest.approx(1.0, abs=1e-6)
+    scores = [h["score"] for h in q["hits"]]
+    assert scores == sorted(scores, reverse=True)
+
+    rc = cli.main(
+        ["ann", "build", "--input", emb_path, "--index", pq_dir,
+         "--method", "pq", "--m", "4", "--k-codes", "4", "--n-iter", "1"]
+    )
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["built"] == "pq"
+    qvec = spark.read.parquet(emb_path).where("vec_id = 3").first()["embedding"]
+    rc = cli.main(
+        ["ann", "query", "--index", pq_dir,
+         "--query-vec", ",".join(str(float(x)) for x in qvec), "--k", "5"]
+    )
+    assert rc == 0
+    qpq = json.loads(capsys.readouterr().out)
+    assert qpq["method"] == "pq" and len(qpq["hits"]) == 5
+    assert 3 in {h["vec_id"] for h in qpq["hits"]}
+
+    rc = cli.main(
+        ["ann", "pairs", "--input", emb_path, "--output", pairs_path,
+         "--threshold", "0.3", "--method", "lsh"]
+    )
+    assert rc == 0
+    pout = json.loads(capsys.readouterr().out)
+    rows = spark.read.parquet(pairs_path).collect()
+    assert pout["pairs"] == len(rows)
+    assert all(r["id_a"] < r["id_b"] and r["cosine"] >= 0.3 for r in rows)
+
+    # missing required flag for the action is a usage error, not a crash
+    with pytest.raises(SystemExit):
+        cli.main(["ann", "build", "--input", emb_path])
