@@ -634,40 +634,31 @@ class CrawlEngine:
                 dedup=True,
                 kind=cfg.filter_kind,
             ).persist(StorageLevel.MEMORY_AND_DISK)
-            # ONE action materializes the cogroup into the cache AND
-            # returns everything the round needs from it: an Observation
-            # rides the same scan for the post-dedup candidate count
-            # (metrics), and the collected maybe-side hashes both give
-            # n_maybe — which picks the exact-join strategy BEFORE the
-            # write job plans — and BECOME the broadcast's local relation
-            # below. The previous design paid a separate stats aggregate
-            # job plus an in-plan broadcast build that re-scanned the
-            # cache behind its own job barrier: two extra per-round fixed
-            # waves. Driver cost of the collect: 8 bytes per maybe row
-            # (Arrow) — the same rows the broadcast exchange collected to
-            # the driver anyway on the (n_maybe <= limit) path; an
-            # over-limit round frees them immediately and falls back to
-            # the shuffle join exactly as before.
-            obs_stats = Observation(f"stats_r{r}_{sid}")
-            mb_pdf = (
-                fused.observe(
-                    obs_stats,
-                    F.coalesce(
-                        F.sum(
-                            F.when(
-                                F.col("filter_blob").isNotNull(),
-                                F.col("n_cands"),
-                            )
-                        ),
-                        F.lit(0),
-                    ).alias("n_cand"),
-                )
-                .where(F.col("filter_blob").isNull() & F.col("maybe_seen"))
-                .select("url_hash")
-                .toPandas()
-            )
-            n_cand = int(obs_stats.get["n_cand"])
-            n_maybe = len(mb_pdf)
+            # ONE aggregate materializes the cogroup into the cache and
+            # yields both counters the round needs: the post-dedup
+            # candidate count (from the blob rows — this job used to run
+            # AFTER the delta write) and the maybe-seen count, which picks
+            # the exact-join strategy below BEFORE the write job plans.
+            stats = fused.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("filter_blob").isNotNull(), F.col("n_cands")
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("n_cand"),
+                F.coalesce(
+                    F.sum(
+                        (
+                            F.col("filter_blob").isNull() & F.col("maybe_seen")
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("n_maybe"),
+            ).collect()[0]
+            n_cand = int(stats["n_cand"])
+            n_maybe = int(stats["n_maybe"])
             mark("dedup_cogroup_stats")
             probed = fused.where(F.col("filter_blob").isNull())
             cand_cols = ["url", "url_hash", "host", "depth"]
@@ -689,19 +680,13 @@ class CrawlEngine:
                 # equality re-check keeps 64-bit hash collisions harmless
                 # (exactness cannot ride on url_hash alone: at 10^10 URLs
                 # the birthday bound expects a few 64-bit collisions).
-                # Broadcast only the 8-byte hashes, as a LOCAL relation
-                # built from the hashes already collected above (deduped —
-                # strictly smaller, and join-equivalent for the anti-join).
-                # The inner join may admit hash-collision extras — seen
-                # urls that share a hash with a maybe url — but the
-                # anti-join below re-checks (url_hash, url), so a maybe
-                # row is removed iff that exact row is in seen. Still
-                # exactly maybe ∖ seen.
-                import pandas as pd
-
-                mb_h = self.spark.createDataFrame(
-                    pd.DataFrame({"url_hash": mb_pdf["url_hash"].unique()})
-                )
+                # broadcast only the 8-byte hashes (5× smaller driver
+                # collect than (hash, url) rows); the inner join may admit
+                # hash-collision extras — seen urls that share a hash with
+                # a maybe url — but the anti-join below re-checks
+                # (url_hash, url), so a maybe row is removed iff that
+                # exact row is in seen. Still exactly maybe ∖ seen.
+                mb_h = maybe.select("url_hash")
                 confirmed = seen.select("url_hash", "url").join(
                     F.broadcast(mb_h), on="url_hash", how="inner"
                 )
@@ -716,7 +701,6 @@ class CrawlEngine:
                 # maybe-side too big to broadcast (possible only when a
                 # round re-encounters >broadcast_pop_limit known URLs):
                 # fall back to the shuffle anti-join
-                del mb_pdf
                 unseen = fresh.unionByName(
                     maybe.join(seen, on=["url_hash", "url"], how="left_anti")
                 )
