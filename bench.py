@@ -69,6 +69,13 @@ QUIET_PENALTY = float(os.environ.get("BENCH_QUIET_PENALTY", "1.1"))
 # poll cycle of it and the round-4 extras launched into its tail
 QUIET_WAIT_SEC = float(os.environ.get("BENCH_QUIET_WAIT_SEC", "600"))
 QUIET_POLL_SEC = float(os.environ.get("BENCH_QUIET_POLL_SEC", "30"))
+# Per-leg watchdog: a crawl leg that exceeds this wall is killed and
+# retried ONCE in a fresh subprocess (fresh JVM + fresh Python workers).
+# Rationale: a wedged leg (executor/UDF-worker socket stall, co-tenant
+# freeze) would otherwise hang the WHOLE bench and cost the round its
+# artifact; 40 min is ~3x the slowest honest leg ever recorded at the
+# default 20M size (contended 4-core draws ran 805-842 s).
+LEG_TIMEOUT_SEC = float(os.environ.get("BENCH_LEG_TIMEOUT_SEC", "2400"))
 # the N-vs-4N scaling pair; 4/16 leaves scheduler headroom on a 32-core box
 SCALE_CORES_LO = int(os.environ.get("BENCH_CORES_LO", "4"))
 SCALE_CORES_HI = int(os.environ.get("BENCH_CORES_HI", "16"))
@@ -137,15 +144,63 @@ def run_crawl(cores: int, kind: str = "bloom") -> dict:
         str(cores),
         kind,
     ]
-    try:
-        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-    except (FileNotFoundError, subprocess.CalledProcessError) as e:
-        if isinstance(e, subprocess.CalledProcessError):
+    for attempt in (1, 2):
+        try:
+            out = subprocess.run(
+                cmd,
+                capture_output=True,
+                text=True,
+                check=True,
+                timeout=LEG_TIMEOUT_SEC,
+                # own process group: on timeout, kill the whole tree (the
+                # JVM and Python UDF workers are grandchildren; killing
+                # just the child would orphan a wedged executor)
+                start_new_session=True,
+            )
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        except FileNotFoundError:
+            # no taskset: fall back to unpinned in-process run
+            return _crawl_inprocess(cores, kind)
+        except subprocess.TimeoutExpired:
+            import signal
+
+            print(
+                f"  leg {cores}c/{kind} exceeded {LEG_TIMEOUT_SEC:.0f}s "
+                f"watchdog (attempt {attempt}) — killing process tree",
+                file=sys.stderr,
+            )
+            _kill_leg_tree(cmd, signal)
+            if attempt == 2:
+                raise
+        except subprocess.CalledProcessError as e:
             print(e.stderr[-2000:], file=sys.stderr)
             raise
-        # no taskset: fall back to unpinned in-process run
-        return _crawl_inprocess(cores, kind)
-    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _kill_leg_tree(cmd: list[str], signal) -> None:
+    """Kill every process whose command line matches the timed-out leg
+    (the taskset child and any JVM/worker descendants it left behind)."""
+    import subprocess
+
+    needle = " ".join(cmd[-3:])  # "--crawl-child N kind" (+ script path)
+    try:
+        out = subprocess.run(
+            ["pgrep", "-f", needle], capture_output=True, text=True
+        ).stdout
+        for pid in out.split():
+            try:
+                os.killpg(os.getpgid(int(pid)), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError, OSError):
+                try:
+                    os.kill(int(pid), signal.SIGKILL)
+                except OSError:
+                    pass
+        # orphaned JVMs/daemons keep the leg's app name in their argv
+        for pat in ("bench-crawl-", "pyspark.daemon"):
+            subprocess.run(["pkill", "-9", "-f", pat], capture_output=True)
+    except FileNotFoundError:
+        pass
+    time.sleep(2.0)
 
 
 def _crawl_inprocess(cores: int, kind: str = "bloom") -> dict:
