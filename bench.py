@@ -243,11 +243,24 @@ def _crawl_inprocess(cores: int, kind: str = "bloom") -> dict:
 
     seeds = [corpus.url(i * (CRAWL_N // CRAWL_SEEDS)) for i in range(CRAWL_SEEDS)]
     workdir = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_", dir=scratch)
+    # provision the cuckoo backend for the known crawl scale, exactly as a
+    # production deployment sizes any sketch from its corpus bound (the
+    # seen set is at most CRAWL_N urls). The r4 draw ran the default
+    # 4.2M-slot geometry against 9.5M inserts: >2x overloaded, and the
+    # biggest wave degraded 59s -> 900s in eviction walks + stash probes.
+    from goprowl_spark import seen_filter
+
+    cfg = CrawlConfig(
+        seeds=seeds,
+        max_depth=CRAWL_DEPTH,
+        filter_kind=kind,
+        cuckoo_inner_buckets=seen_filter.cuckoo_inner_buckets_for(CRAWL_N),
+    )
     eng = CrawlEngine(
         spark,
         None,
         workdir,
-        CrawlConfig(seeds=seeds, max_depth=CRAWL_DEPTH, filter_kind=kind),
+        cfg,
         fetcher=corpus.make_fetcher(CRAWL_N),
     )
     t0 = time.time()

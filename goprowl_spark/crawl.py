@@ -48,6 +48,14 @@ class CrawlConfig:
     filter_kind: str = "bloom"
     n_buckets: int = seen_filter.DEFAULT_N_BUCKETS
     bits_per_bucket: int = seen_filter.DEFAULT_BITS_PER_BUCKET
+    # cuckoo-backend geometry for FRESH filter shards (an existing blob's
+    # header stays authoritative across resume). Size it for the expected
+    # crawl scale — seen_filter.cuckoo_inner_buckets_for(expected_urls) —
+    # the way a production deployment provisions any sketch. Undersized
+    # shards auto-grow their slot cap in place (bounded, membership-
+    # preserving; see seen_filter._cuckoo_grow), so this knob is FPR/
+    # throughput tuning, never correctness.
+    cuckoo_inner_buckets: int = seen_filter.CUCKOO_INNER_BUCKETS
     # Bloom commits are per-round DELTAS (only touched buckets, latest
     # generation wins on read); every this-many rounds a compaction
     # rewrites the full table to bound read amplification
@@ -215,6 +223,7 @@ class CrawlEngine:
                     self.spark.createDataFrame([], schemas.SEEN_BLOOM),
                     delta,
                     self.config.n_buckets,
+                    inner_buckets=self.config.cuckoo_inner_buckets,
                     gen=0,
                 )
             else:
@@ -360,7 +369,11 @@ class CrawlEngine:
             empty = self.spark.createDataFrame([], schemas.SEEN_BLOOM)
             if cfg.filter_kind == "cuckoo":
                 rebuilt = seen_filter.update_cuckoos(
-                    empty, surviving_touched, cfg.n_buckets, gen=r
+                    empty,
+                    surviving_touched,
+                    cfg.n_buckets,
+                    inner_buckets=cfg.cuckoo_inner_buckets,
+                    gen=r,
                 )
             else:
                 rebuilt = seen_filter.update_blooms(
@@ -633,6 +646,7 @@ class CrawlEngine:
                 emit_untouched=compact,
                 dedup=True,
                 kind=cfg.filter_kind,
+                inner_buckets=cfg.cuckoo_inner_buckets,
             ).persist(StorageLevel.MEMORY_AND_DISK)
             # ONE aggregate materializes the cogroup into the cache and
             # yields both counters the round needs: the post-dedup

@@ -37,6 +37,10 @@ from goprowl_spark import schemas
 DEFAULT_N_BUCKETS = 64
 DEFAULT_BITS_PER_BUCKET = 1 << 20  # 128 KiB blob per bucket
 N_HASHES = 5
+# default cuckoo shard geometry (details in the cuckoo section below);
+# defined up here because probe_and_update's signature defaults to them
+CUCKOO_INNER_BUCKETS = 1 << 14  # per shard; power of two for the XOR pair
+CUCKOO_SLOT_CAP = 4
 
 
 def bucket_of(url_hash_col):
@@ -180,8 +184,15 @@ def probe_and_update(
     emit_untouched: bool = False,
     dedup: bool = False,
     kind: str = "bloom",
+    inner_buckets: int = CUCKOO_INNER_BUCKETS,
+    slot_cap: int = CUCKOO_SLOT_CAP,
 ) -> DataFrame:
     """Fused probe + update: ONE cogroup pass per round instead of two.
+
+    ``inner_buckets``/``slot_cap`` size FRESH cuckoo shards only (an
+    existing blob's header geometry is authoritative, exactly as in
+    update_cuckoos); size them for the expected crawl scale with
+    cuckoo_inner_buckets_for.
 
     ``kind`` selects the filter payload: "bloom" (bit arrays) or "cuckoo"
     (fingerprint tables — deletable, exact n_items). The cogroup shape,
@@ -232,7 +243,7 @@ def probe_and_update(
 
     def fused(key, cand: pd.DataFrame, blobs: pd.DataFrame) -> pd.DataFrame:
         out = []
-        nb, cap = CUCKOO_INNER_BUCKETS, CUCKOO_SLOT_CAP
+        nb, cap = inner_buckets, slot_cap
         if blobs.empty:
             if cuckoo:
                 table, stash = _cuckoo_empty(nb, cap)
@@ -273,7 +284,7 @@ def probe_and_update(
                 )
             )
             if cuckoo:
-                table, stash, ins = _cuckoo_insert(table, stash, nb, cap, arr)
+                table, stash, cap, ins = _cuckoo_insert(table, stash, nb, cap, arr)
                 n += ins
             else:
                 _set_bits(blob, arr, bits_per_bucket)
@@ -331,10 +342,40 @@ def probe_and_update(
 # relocation, so zero-false-negatives holds at ANY load; the stash is the
 # resize signal a production deployment monitors.
 
-CUCKOO_INNER_BUCKETS = 1 << 14  # per shard; power of two for the XOR pair
-CUCKOO_SLOT_CAP = 4
 CUCKOO_MAX_KICKS = 250
+# In-shard auto-resize (the production answer to "the crawl outgrew the
+# filter", measured: a 9.5M-URL crawl over the fixed 64x16384x4 = 4.2M-slot
+# geometry degraded the biggest wave 59s -> 900s at 16 cores — every insert
+# past full walked 250 kicks in Python and the stash hit millions of
+# np.isin'd entries). Bucket indices depend ONLY on the bucket count, so
+# doubling SLOT_CAP is a membership-preserving zero-rehash reshape (pad each
+# bucket row with empty slots); the stash drains back into the grown table
+# because its canonical keys encode (bucket, fp). Each doubling doubles the
+# per-probe FPR (2 buckets x cap slots x 2^-16), so growth is capped —
+# beyond the cap, inserts stash in BULK (vectorized, exact) instead of
+# walking evictions that cannot succeed.
+CUCKOO_MAX_SLOT_CAP = 128  # FPR ceiling ~0.4%; 32x the default capacity
+CUCKOO_GROW_LOAD = 0.85  # grow so the post-insert load factor stays below
 _CUCKOO_HDR = 3  # uint64 header words
+
+
+def cuckoo_inner_buckets_for(
+    expected_items: int,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    slot_cap: int = CUCKOO_SLOT_CAP,
+    target_load: float = 0.7,
+) -> int:
+    """A-priori shard geometry: the smallest power-of-two bucket count per
+    shard that holds ``expected_items`` across ``n_buckets`` shards at
+    ``target_load`` with the default slot cap. A production crawl knows its
+    scale (the corpus/frontier bound); sizing up front keeps the filter at
+    the design FPR and never triggers the in-shard slot-cap growth."""
+    per_shard = max(1, int(expected_items / max(1, n_buckets)))
+    need = int(per_shard / (slot_cap * target_load)) + 1
+    nb = CUCKOO_INNER_BUCKETS
+    while nb < need:
+        nb <<= 1
+    return nb
 
 
 def _cuckoo_parts(h: np.ndarray, nb: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -435,19 +476,57 @@ def _place_bulk(
     return placed
 
 
+def _cuckoo_grow(
+    table: np.ndarray, stash: np.ndarray, nb: int, cap: int, need: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Membership-preserving in-shard resize: double the slot cap until
+    ``need`` live entries fit under CUCKOO_GROW_LOAD (ceiling:
+    CUCKOO_MAX_SLOT_CAP). Bucket addressing depends only on ``nb``, so the
+    grow is a reshape-pad — no rehash, and no original keys needed — and
+    the stash drains back into the new free slots (its canonical keys
+    encode (min candidate bucket, fp), which is the full placement
+    information). Every doubling doubles the per-probe FPR, which is why
+    growth is bounded and a-priori sizing (cuckoo_inner_buckets_for) is
+    the production default."""
+    new_cap = cap
+    while new_cap < CUCKOO_MAX_SLOT_CAP and nb * new_cap * CUCKOO_GROW_LOAD < need:
+        new_cap <<= 1
+    if new_cap == cap:
+        return table, stash, cap
+    t_new = np.zeros((nb, new_cap), dtype=np.uint16)
+    t_new[:, :cap] = table.reshape(nb, cap)
+    if len(stash):
+        fp = (stash & np.uint64(0xFFFF)).astype(np.uint16)
+        b1 = (stash >> np.uint64(16)).astype(np.int64)
+        kick = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & np.uint64(nb - 1)
+        b2 = (b1.astype(np.uint64) ^ kick).astype(np.int64)
+        placed = _place_bulk(t_new, b1, fp)
+        rem = np.flatnonzero(~placed)
+        if len(rem):
+            placed2 = _place_bulk(t_new, b2[rem], fp[rem])
+            rem = rem[~placed2]
+        stash = stash[rem]
+    return t_new.reshape(-1), stash, new_cap
+
+
 def _cuckoo_insert(
     table: np.ndarray, stash: np.ndarray, nb: int, cap: int, h: np.ndarray
-) -> tuple[np.ndarray, np.ndarray, int]:
+) -> tuple[np.ndarray, np.ndarray, int, int]:
     """Insert hashes (skipping ones already maybe-present — a member's
     re-insert is a no-op, mirroring Bloom re-set semantics, and a
     false-positive skip is harmless because the matching fingerprint
-    keeps answering every future probe). Returns (table, stash,
-    n_inserted)."""
+    keeps answering every future probe). Returns (table, stash, slot_cap,
+    n_inserted) — slot_cap can come back LARGER than it went in: an
+    insert batch that would push the load factor past CUCKOO_GROW_LOAD
+    first grows the shard in place (see _cuckoo_grow)."""
     h = np.unique(h)
     fresh = ~_cuckoo_contains(table, stash, nb, cap, h)
     h = h[fresh]
     if len(h) == 0:
-        return table, stash, 0
+        return table, stash, cap, 0
+    live = int(np.count_nonzero(table)) + len(stash)
+    if live + len(h) > nb * cap * CUCKOO_GROW_LOAD:
+        table, stash, cap = _cuckoo_grow(table, stash, nb, cap, live + len(h))
     fp, b1, b2 = _cuckoo_parts(h, nb)
     t = table.reshape(nb, cap)
     placed1 = _place_bulk(t, b1, fp)
@@ -456,12 +535,25 @@ def _cuckoo_insert(
     if r.any():
         placed2_sub = _place_bulk(t, b2[r], fp[r])
         placed2[np.flatnonzero(r)[placed2_sub]] = True
-    rest = ~(placed1 | placed2)
+    rest = np.flatnonzero(~(placed1 | placed2))
     new_stash = []
-    if rest.any():
-        # eviction walk, contended tail only: deterministic victim slot
-        # (kick count mod cap), membership preserved at every step
-        for i in np.flatnonzero(rest):
+    if len(rest):
+        # Eviction walk, contended tail only: deterministic victim slot
+        # (kick count mod cap), membership preserved at every step. The
+        # walk's total work is BOUNDED: each successful walk consumes one
+        # free slot, so at most free_remaining walks can ever park, and a
+        # bounded allowance of failed walks is tolerated on top — past
+        # either limit the remainder stashes in bulk (vectorized, exact
+        # membership either way). Without the bound, an over-capacity
+        # shard (only reachable at CUCKOO_MAX_SLOT_CAP) pays 250 Python
+        # kicks per entry — the measured 15x crawl-wave cliff.
+        free_remaining = int((t == 0).sum())
+        walk_budget = max(1024, 4 * free_remaining)
+        bulk_from = len(rest)
+        for j, i in enumerate(rest):
+            if free_remaining == 0 or j >= walk_budget:
+                bulk_from = j
+                break
             cur_fp, cur_b = int(fp[i]), int(b1[i])
             parked = False
             for kicks in range(CUCKOO_MAX_KICKS):
@@ -476,14 +568,21 @@ def _cuckoo_insert(
                 row[victim_slot] = cur_fp
                 vkick = (victim_fp * 0x5BD1E995) & (nb - 1)
                 cur_fp, cur_b = victim_fp, cur_b ^ vkick
-            if not parked:
+            if parked:
+                free_remaining -= 1
+            else:
                 # stash the fp the walk is still holding (canonical form)
                 alt = cur_b ^ ((cur_fp * 0x5BD1E995) & (nb - 1))
                 canon = (min(cur_b, alt) << 16) | cur_fp
                 new_stash.append(canon)
+        tail = rest[bulk_from:]
+        if len(tail):
+            stash = np.concatenate(
+                [stash, _cuckoo_canon(fp[tail], b1[tail], b2[tail])]
+            )
     if new_stash:
         stash = np.concatenate([stash, np.array(new_stash, dtype=np.uint64)])
-    return table, stash, int(len(h))
+    return table, stash, cap, int(len(h))
 
 
 def _cuckoo_delete(
@@ -575,7 +674,7 @@ def update_cuckoos(
         arr = hashes["url_hash"].to_numpy(dtype=np.int64)
         ins = 0
         if len(arr):
-            table, stash, ins = _cuckoo_insert(table, stash, nb, cap, arr)
+            table, stash, cap, ins = _cuckoo_insert(table, stash, nb, cap, arr)
         return pd.DataFrame(
             {
                 "bucket": [key[0]],

@@ -141,6 +141,7 @@ def test_canonicalize_idempotent(host_i, path, suffix):
 def test_cuckoo_kernel_random_ops_no_false_negatives(ops):
     import numpy as np
 
+    from goprowl_spark import seen_filter
     from goprowl_spark.seen_filter import (
         _cuckoo_contains,
         _cuckoo_delete,
@@ -153,20 +154,28 @@ def test_cuckoo_kernel_random_ops_no_false_negatives(ops):
     table, stash = _cuckoo_empty(nb, cap)
     live: list[int] = []
     deleted: list[int] = []
-    for is_insert, key in ops:
-        if is_insert:
-            arr = np.array([key], dtype=np.int64)
-            table, stash, _ = _cuckoo_insert(table, stash, nb, cap, arr)
-            if key not in live:
-                live.append(key)
-        elif live:
-            # contract: delete only keys that were inserted — pick one
-            # deterministically from the live set
-            victim = live[key % len(live)]
-            arr = np.array([victim], dtype=np.int64)
-            table, stash, _ = _cuckoo_delete(table, stash, nb, cap, arr)
-            live.remove(victim)
-            deleted.append(victim)
+    # pin the slot-cap ceiling to the test geometry: auto-grow would
+    # otherwise resize past the overload this test exists to exercise
+    # (growth has its own property test below)
+    old_max = seen_filter.CUCKOO_MAX_SLOT_CAP
+    seen_filter.CUCKOO_MAX_SLOT_CAP = cap
+    try:
+        for is_insert, key in ops:
+            if is_insert:
+                arr = np.array([key], dtype=np.int64)
+                table, stash, cap, _ = _cuckoo_insert(table, stash, nb, cap, arr)
+                if key not in live:
+                    live.append(key)
+            elif live:
+                # contract: delete only keys that were inserted — pick one
+                # deterministically from the live set
+                victim = live[key % len(live)]
+                arr = np.array([victim], dtype=np.int64)
+                table, stash, _ = _cuckoo_delete(table, stash, nb, cap, arr)
+                live.remove(victim)
+                deleted.append(victim)
+    finally:
+        seen_filter.CUCKOO_MAX_SLOT_CAP = old_max
     if not live:
         return
     probe = np.array(sorted(set(live)), dtype=np.int64)
@@ -215,7 +224,7 @@ def test_cuckoo_kernel_noncontract_delete_caveat():
     assert {int(b1[0]), int(b2[0])} & {int(b1[1]), int(b2[1])}
 
     table, stash = _cuckoo_empty(nb, cap)
-    table, stash, _ = _cuckoo_insert(
+    table, stash, cap, _ = _cuckoo_insert(
         table, stash, nb, cap, np.array([member], dtype=np.int64)
     )
     assert _cuckoo_contains(
@@ -229,3 +238,82 @@ def test_cuckoo_kernel_noncontract_delete_caveat():
     assert not _cuckoo_contains(
         table, stash, nb, cap, np.array([member], dtype=np.int64)
     ).any()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=1, max_value=2000), st.integers(min_value=0, max_value=2**31))
+def test_cuckoo_autogrow_preserves_membership(n, seed):
+    """Inserting far past the initial capacity triggers the in-shard
+    slot-cap grow (a membership-preserving reshape: bucket addressing
+    depends only on the bucket count, and the stash drains back in).
+    Invariants: zero false negatives at any load, slot cap stays a
+    power of two at or below the ceiling, and below the ceiling the
+    stash stays empty (everything fits in the grown table or is mid-
+    eviction parked)."""
+    import numpy as np
+
+    from goprowl_spark.seen_filter import (
+        CUCKOO_MAX_SLOT_CAP,
+        _cuckoo_contains,
+        _cuckoo_empty,
+        _cuckoo_insert,
+    )
+
+    nb, cap = 16, 2  # 32 initial slots; n up to 62x capacity
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(-(2**62), 2**62, size=n, dtype=np.int64)
+    table, stash = _cuckoo_empty(nb, cap)
+    # three batches of different sizes so growth happens mid-stream too
+    for part in np.array_split(keys, 3):
+        table, stash, cap, _ = _cuckoo_insert(table, stash, nb, cap, part)
+    assert cap <= CUCKOO_MAX_SLOT_CAP and (cap & (cap - 1)) == 0
+    hits = _cuckoo_contains(table, stash, nb, cap, np.unique(keys))
+    assert hits.all(), "false negatives after auto-grow"
+
+
+def test_cuckoo_overload_past_ceiling_bulk_stashes_exactly():
+    """Past CUCKOO_MAX_SLOT_CAP the kernel must not degenerate into
+    250-kick eviction walks per entry (the measured 15x crawl-wave
+    cliff): the hopeless tail stashes in BULK, and membership stays
+    exact. Ceiling pinned tiny so the test overloads instantly."""
+    import numpy as np
+
+    from goprowl_spark import seen_filter
+    from goprowl_spark.seen_filter import (
+        _cuckoo_contains,
+        _cuckoo_empty,
+        _cuckoo_insert,
+    )
+
+    nb, cap = 16, 2
+    old_max = seen_filter.CUCKOO_MAX_SLOT_CAP
+    seen_filter.CUCKOO_MAX_SLOT_CAP = 4  # capacity ceiling: 64 slots
+    try:
+        rng = np.random.default_rng(7)
+        keys = rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+        table, stash = _cuckoo_empty(nb, cap)
+        table, stash, cap, _ = _cuckoo_insert(table, stash, nb, cap, keys)
+        assert cap == 4
+        assert len(stash) > 0  # the overload landed in the exact stash
+        hits = _cuckoo_contains(table, stash, nb, cap, np.unique(keys))
+        assert hits.all(), "false negatives in bulk-stash overload"
+    finally:
+        seen_filter.CUCKOO_MAX_SLOT_CAP = old_max
+
+
+def test_cuckoo_inner_buckets_for_sizing():
+    from goprowl_spark.seen_filter import (
+        CUCKOO_INNER_BUCKETS,
+        CUCKOO_SLOT_CAP,
+        cuckoo_inner_buckets_for,
+    )
+
+    # small expectations keep the default geometry
+    assert cuckoo_inner_buckets_for(100_000) == CUCKOO_INNER_BUCKETS
+    # the bench scale that measured the 900s cliff: 20M urls over 64
+    # shards must size so the load factor stays at or below target
+    nb = cuckoo_inner_buckets_for(20_000_000, 64)
+    assert (nb & (nb - 1)) == 0
+    assert 20_000_000 / (64 * nb * CUCKOO_SLOT_CAP) <= 0.7
+    # monotone in expected items
+    assert cuckoo_inner_buckets_for(40_000_000, 64) >= nb
