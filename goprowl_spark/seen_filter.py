@@ -339,8 +339,11 @@ def probe_and_update(
 # choice passes and walks ONLY the contended tail (both candidate buckets
 # full) through the classic eviction loop — deterministic victim, bounded
 # kicks, exact stash fallback. Membership is preserved by every
-# relocation, so zero-false-negatives holds at ANY load; the stash is the
-# resize signal a production deployment monitors.
+# relocation, so zero-false-negatives holds at ANY load. A shard whose
+# load would cross CUCKOO_GROW_LOAD first resizes itself in place
+# (_cuckoo_grow: slot-cap doubling, membership-preserving), so an
+# under-provisioned filter degrades to a bounded FPR increase, never to
+# per-row eviction storms; size a-priori via cuckoo_inner_buckets_for.
 
 CUCKOO_MAX_KICKS = 250
 # In-shard auto-resize (the production answer to "the crawl outgrew the
