@@ -185,25 +185,49 @@ def test_cuckoo_delete_unsees_and_allows_reinsert(spark):
     assert reprobe.where(~F.col("maybe_seen")).count() == 0
 
 
-def test_cuckoo_eviction_and_stash_under_overload(spark):
-    """Force the contended path: 16 inner buckets x 4 slots = 64 slots per
-    shard, ~80 entries per shard -> placement must evict and then stash,
-    and zero-false-negatives must hold throughout (the stash is exact)."""
+def test_cuckoo_autogrow_under_overload(spark):
+    """Overload an under-provisioned shard: 16 inner buckets x 4 slots = 64
+    slots per shard, ~80 entries per shard. The shard must auto-grow in
+    place (slot cap doubles until the load fits under CUCKOO_GROW_LOAD)
+    instead of walking eviction storms, so the stash stays EMPTY, every
+    member still probes maybe_seen, and n_items is exact."""
+    import numpy as np
+
     seen = _urls(spark, 0, 5000)
     empty = spark.createDataFrame([], seen_filter.schemas.SEEN_BLOOM)
     cf = seen_filter.update_cuckoos(empty, seen, inner_buckets=16, slot_cap=4)
     probed = seen_filter.probe_cuckoos(seen, cf)
     assert probed.where(~F.col("maybe_seen")).count() == 0
-    # overload must have engaged the stash in at least one shard: decode
-    # headers and check total stashed entries > 0
+    hdrs = [
+        np.frombuffer(r["filter_blob"], dtype=np.uint64, count=3)
+        for r in cf.select("filter_blob").collect()
+    ]
+    # every shard grew past the requested cap of 4, and none needed the stash
+    assert all(int(h[1]) > 4 for h in hdrs)
+    assert sum(int(h[2]) for h in hdrs) == 0
+    assert cf.agg(F.sum("n_items")).collect()[0][0] == 5000
+
+
+def test_cuckoo_bulk_stash_beyond_max_cap(spark):
+    """Push a shard past its growth ceiling (inner_buckets=2 caps the table
+    at 2 x CUCKOO_MAX_SLOT_CAP slots; 5000 urls over 4 shards is ~1250 per
+    shard): the overflow must land in the exact bulk stash — no false
+    negatives, exact n_items, cap pinned at CUCKOO_MAX_SLOT_CAP."""
     import numpy as np
 
-    blobs = cf.select("filter_blob").collect()
-    stashed = sum(
-        int(np.frombuffer(r["filter_blob"], dtype=np.uint64, count=3)[2])
-        for r in blobs
+    seen = _urls(spark, 0, 5000)
+    empty = spark.createDataFrame([], seen_filter.schemas.SEEN_BLOOM)
+    cf = seen_filter.update_cuckoos(
+        empty, seen, n_buckets=4, inner_buckets=2, slot_cap=4
     )
-    assert stashed > 0
+    probed = seen_filter.probe_cuckoos(seen, cf, n_buckets=4)
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+    hdrs = [
+        np.frombuffer(r["filter_blob"], dtype=np.uint64, count=3)
+        for r in cf.select("filter_blob").collect()
+    ]
+    assert all(int(h[1]) == seen_filter.CUCKOO_MAX_SLOT_CAP for h in hdrs)
+    assert sum(int(h[2]) for h in hdrs) > 0
     assert cf.agg(F.sum("n_items")).collect()[0][0] == 5000
 
 
