@@ -493,7 +493,13 @@ def main() -> None:
             file=sys.stderr,
         )
         _wait_quiet(probe_penalties, f"extra hi leg {len(hi_extras)}")
-        hi_extras.append(run_crawl(SCALE_CORES_HI))
+        try:
+            hi_extras.append(run_crawl(SCALE_CORES_HI))
+        except Exception as e:  # noqa: BLE001 — extras are opportunistic:
+            # a wedged extra must not cost the artifact the initial draws
+            # already paid for
+            print(f"  extra hi leg failed ({e}); stopping extras", file=sys.stderr)
+            break
         crawl_hi = _composite_leg([hi for _, hi in draws] + hi_extras)
         eff, eff_steady = _eff(crawl_lo, crawl_hi)
     # alternate-backend datum: one probe-gated hi-core draw on the cuckoo
@@ -503,7 +509,11 @@ def main() -> None:
     crawl_cuckoo = None
     if BENCH_CUCKOO:
         _wait_quiet(probe_penalties, "cuckoo hi leg")
-        crawl_cuckoo = run_crawl(SCALE_CORES_HI, kind="cuckoo")
+        try:
+            crawl_cuckoo = run_crawl(SCALE_CORES_HI, kind="cuckoo")
+        except Exception as e:  # noqa: BLE001 — an optional alternate-backend
+            # datum must never kill the north-rule artifact
+            print(f"  cuckoo leg failed ({e}); omitting datum", file=sys.stderr)
     freq_penalty = percore_speed_ratio(SCALE_CORES_LO, SCALE_CORES_HI)
     queries = run_queries()
     result = {
