@@ -150,7 +150,10 @@ def bm25_scores(
 ) -> DataFrame:
     """Ranker.Score summed over query terms (ranker.go:22-41). Pass a
     precomputed ``avgdl`` (a per-snapshot corpus stat) to avoid the
-    doc_stats scan per query — engine.search_ranked caches it."""
+    doc_stats scan per query — engine.search_ranked caches it. Without
+    one, avgdl is computed IN-PLAN (a broadcast 1-row cross join, the
+    same shape as the oracle's avg_len CTE) rather than as a separate
+    collect job, so a cold call is still one Spark job."""
     terms = _query_terms_df(spark, query)
     # Same semi-join-first + count-window + IN-pushdown shape as
     # tfidf_scores.
@@ -158,15 +161,24 @@ def bm25_scores(
         postings, list(dict.fromkeys(tokenize(query)))
     ).join(F.broadcast(terms), "term")
     df_col = F.count("*").over(Window.partitionBy("term"))
+    base = qpost.withColumn("df", df_col).join(doc_stats, "doc_id")
     if avgdl is None:
-        avgdl = doc_stats.agg(F.avg("doc_len")).collect()[0][0] or 0.0
+        avgdl_expr = F.col("_avgdl")
+        base = base.crossJoin(
+            F.broadcast(
+                doc_stats.agg(
+                    F.coalesce(F.avg("doc_len"), F.lit(0.0)).alias("_avgdl")
+                )
+            )
+        )
+    else:
+        avgdl_expr = F.lit(float(avgdl))
     n = F.lit(float(total_docs))
     idf = F.log(1 + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf = F.col("tf").cast("double")
-    denom = tf + K1 * (1 - B + B * F.col("doc_len") / F.lit(float(avgdl)))
+    denom = tf + K1 * (1 - B + B * F.col("doc_len") / avgdl_expr)
     scored = (
-        qpost.withColumn("df", df_col)
-        .join(doc_stats, "doc_id")
+        base
         .select(
             "doc_id",
             (F.col("mult") * idf * (tf * (K1 + 1)) / denom).alias("term_score"),
@@ -301,15 +313,25 @@ def bm25_scores_batch(
     qpost = _pushdown_query_terms(postings, all_terms).join(
         F.broadcast(distinct_terms), "term"
     ).withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    base = qpost.join(F.broadcast(terms), "term").join(doc_stats, "doc_id")
     if avgdl is None:
-        avgdl = doc_stats.agg(F.avg("doc_len")).collect()[0][0] or 0.0
+        # in-plan corpus stat (broadcast 1-row cross join) — see bm25_scores
+        avgdl_expr = F.col("_avgdl")
+        base = base.crossJoin(
+            F.broadcast(
+                doc_stats.agg(
+                    F.coalesce(F.avg("doc_len"), F.lit(0.0)).alias("_avgdl")
+                )
+            )
+        )
+    else:
+        avgdl_expr = F.lit(float(avgdl))
     n = F.lit(float(total_docs))
     idf = F.log(1 + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf = F.col("tf").cast("double")
-    denom = tf + K1 * (1 - B + B * F.col("doc_len") / F.lit(float(avgdl)))
+    denom = tf + K1 * (1 - B + B * F.col("doc_len") / avgdl_expr)
     return (
-        qpost.join(F.broadcast(terms), "term")
-        .join(doc_stats, "doc_id")
+        base
         .select(
             "query_id",
             "doc_id",
