@@ -306,7 +306,10 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_spread(spark, sf_dir)
     postings = ranking.build_postings(docs, text_col="text")
     stats = ranking.build_doc_stats(docs, text_col="text")
-    scored = ranking.tfidf_scores(spark, postings, stats, docs.count(), TFIDF_QUERY)
+    # N over the raw parquet scan: a zero-column count (metadata speed),
+    # not a count over the repartition shuffle the spread scan would pay
+    n_docs = _docs(spark, sf_dir).count()
+    scored = ranking.tfidf_scores(spark, postings, stats, n_docs, TFIDF_QUERY)
     return scored.select("doc_id", F.round("score", 4).alias("score")).orderBy(
         F.col("score").desc(), "doc_id"
     )
@@ -316,7 +319,8 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_spread(spark, sf_dir)
     postings = ranking.build_postings(docs, text_col="text")
     stats = ranking.build_doc_stats(docs, text_col="text")
-    scored = ranking.bm25_scores(spark, postings, stats, docs.count(), BM25_QUERY)
+    n_docs = _docs(spark, sf_dir).count()
+    scored = ranking.bm25_scores(spark, postings, stats, n_docs, BM25_QUERY)
     return scored.select("doc_id", F.round("score", 4).alias("score")).orderBy(
         F.col("score").desc(), "doc_id"
     )
@@ -337,7 +341,7 @@ def q_tfidf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = ranking.build_postings(docs, text_col="text")
     stats = ranking.build_doc_stats(docs, text_col="text")
     scored = ranking.tfidf_scores_batch(
-        spark, postings, stats, docs.count(), BATCH_QUERIES
+        spark, postings, stats, _docs(spark, sf_dir).count(), BATCH_QUERIES
     )
     return scored.select(
         "query_id", "doc_id", F.round("score", 4).alias("score")
@@ -351,7 +355,7 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = ranking.build_postings(docs, text_col="text")
     stats = ranking.build_doc_stats(docs, text_col="text")
     scored = ranking.bm25_scores_batch(
-        spark, postings, stats, docs.count(), BATCH_QUERIES
+        spark, postings, stats, _docs(spark, sf_dir).count(), BATCH_QUERIES
     )
     return scored.select(
         "query_id", "doc_id", F.round("score", 4).alias("score")
