@@ -155,7 +155,14 @@ def cmd_curate(args) -> int:
     # the output IS the curated corpus: full document rows (text included)
     # plus the mixture's token accounting columns
     out = docs.join(mix.select("doc_id", "ws_tokens", "cum_tokens"), "doc_id")
-    out.write.mode("overwrite").parquet(args.output)
+    if args.shards:
+        # dataloader layout: deterministic shard + within-shard position,
+        # written as one parquet directory per shard (partitionBy)
+        layout = curation.training_shards(out, args.shards)
+        out = out.join(layout.select("doc_id", "shard", "position"), "doc_id")
+        out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
+    else:
+        out.write.mode("overwrite").parquet(args.output)
     kept = spark.read.parquet(args.output)
     summary = kept.agg(
         F.count("*").alias("docs_kept"),
@@ -164,6 +171,8 @@ def cmd_curate(args) -> int:
     ).collect()[0]
     out_stats = {k: int(summary[k]) for k in summary.asDict()}
     out_stats["docs_decontaminated"] = n_contaminated
+    if args.shards:
+        out_stats["shards"] = args.shards
     print(json.dumps(out_stats))
     return 0
 
@@ -440,6 +449,13 @@ def main(argv: list[str] | None = None) -> int:
         type=float,
         default=0.0,
         help="max allowed fraction of eval-overlapping windows (default: any overlap drops)",
+    )
+    cu.add_argument(
+        "--shards",
+        type=int,
+        default=0,
+        help="write the mixture as N deterministic dataloader shards "
+        "(partitioned by shard, stable within-shard positions)",
     )
     cu.set_defaults(fn=cmd_curate)
 

@@ -682,6 +682,18 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_TRAIN_SHARDS = 8  # dataloader shard count for the export-layout query
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export layout: every doc mapped to a
+    hash-assigned shard with a stable within-shard position under an
+    independent hash order (one window shuffle; shards rank in parallel)."""
+    return curation.training_shards(_docs(spark, sf_dir), N_TRAIN_SHARDS).orderBy(
+        "shard", "position"
+    )
+
+
 QUALITY_MIN = 0.61  # quality-score floor for the pipeline (drops ~10%)
 PIPELINE_BUDGET = 800  # per-source ws-token quota for the pipeline mixture
 
@@ -1933,6 +1945,7 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
     )
     + " ORDER BY doc_id",
     "token_budget_mix": curation.token_budget_mix_sql("documents", TOKEN_BUDGET),
+    "training_shards": curation.training_shards_sql("documents", N_TRAIN_SHARDS),
     "curation_pipeline": _pipeline_oracle(),
     "emb_dedup_clusters": _emb_cluster_oracle(),
     "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
@@ -2033,7 +2046,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
-        "sample_stratified": q_sample_stratified,
+        # round 5: the training-shard export layout takes sample_stratified's
+        # window slot (rotated back: r4-driver-green, map-only, and its md5
+        # bucket machinery is exercised in-window by training_shards itself)
+        "training_shards": q_training_shards,
         "token_budget_mix": q_token_budget_mix,
         "curation_pipeline": q_curation_pipeline,
         "emb_dedup_clusters": q_emb_dedup_clusters,
@@ -2056,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by the same operators elsewhere in the window, re-verifiable locally
     # via tools/check_contract.py in seconds
     qs.update({
+        "sample_stratified": q_sample_stratified,
         "suggest_prefix": q_suggest_prefix,
         "doc_stats": q_doc_stats,
         "broadcast_join_agg": q_broadcast_join_agg,

@@ -18,6 +18,8 @@ deduplicated corpus and a training mixture. Complements dedup.py/textstats.py:
 * token_budget_mix — per-source token quotas (the "data mixture" step):
   docs ordered by a deterministic hash within each source, kept while the
   running token total fits the source's budget.
+* training_shards — the export sink: a deterministic global shuffle of the
+  corpus into N dataloader shards with stable within-shard positions.
 
 Everything is pure DataFrame algebra with an exact DuckDB SQL twin (the
 driver oracle verifies values). Scale shapes: components shuffle only the
@@ -293,3 +295,71 @@ def token_budget_mix_sql(
         f"WITH {token_budget_ctes(table, id_col, text_col, source_col)}"
         f"{token_budget_select(budget_tokens)}"
     )
+
+
+# ------------------------------------------------------------ training shards
+
+def training_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(shard, position, doc_id, ws_tokens) — the training-export layout: a
+    deterministic global pseudo-random shuffle of the corpus into
+    ``n_shards`` dataloader shards. ``shard`` spreads docs uniformly by a
+    salted hash of the id; ``position`` is the doc's rank within its shard
+    under a SECOND, independent hash order, so the read order inside each
+    shard is itself shuffled (dataloaders stream a shard sequentially).
+    No RNG anywhere: re-exports, task retries and different cluster sizes
+    produce the identical layout, which is what makes a 100 TB export
+    resumable and its training runs reproducible.
+
+    Scale shape: ONE shuffle (the per-shard rank window); shards are
+    mutually independent, so a 1000-executor export ranks and writes all
+    shards in parallel, each holding ~corpus/n_shards rows — pick
+    ``n_shards`` so one shard's keys fit an executor's sort buffer (e.g.
+    ~100k shards at 100 TB → ~1 GB of payload each). GoProwl has no export
+    stage (storage stops at the bleve index, storage/bleve/bleve.go); this
+    is the training-pipeline sink layered on top.
+    """
+    sid = F.col(id_col).cast("string")
+    toks = F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("long")
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(h60(F.concat(F.lit("s|"), sid)), F.lit(n_shards))
+        .cast("long")
+        .alias("shard"),
+        h60(F.concat(F.lit("o|"), sid)).alias("okey"),
+        toks.alias("ws_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("okey").asc(), F.col("doc_id").asc()
+    )
+    return keyed.withColumn(
+        "position", F.row_number().over(w).cast("long")
+    ).select("shard", "position", "doc_id", "ws_tokens")
+
+
+def training_shards_sql(
+    table: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    sid = f"CAST({id_col} AS VARCHAR)"
+    return f"""WITH keyed AS (
+  SELECT {id_col} AS doc_id,
+         ({h60_sql(f"'s|' || {sid}")} % {n_shards}) AS shard,
+         {h60_sql(f"'o|' || {sid}")} AS okey,
+         CAST(len(regexp_extract_all({text_col}, '\\S+')) AS BIGINT) AS ws_tokens
+  FROM {table}
+)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY okey ASC, doc_id ASC) AS BIGINT)
+         AS position,
+       doc_id, ws_tokens
+FROM keyed
+ORDER BY shard, position
+"""

@@ -235,3 +235,37 @@ def test_cli_ann_build_query_pairs(spark, tmp_path, capsys):
     # missing required flag for the action is a usage error, not a crash
     with pytest.raises(SystemExit):
         cli.main(["ann", "build", "--input", emb_path])
+
+
+def test_cli_curate_shard_export(spark, tmp_path, capsys):
+    """curate --shards N writes a per-shard parquet layout (one directory
+    per shard) with contiguous within-shard positions — the dataloader
+    export surface over training_shards."""
+    out_path = str(tmp_path / "sharded.parquet")
+    rc = cli.main(
+        [
+            "curate",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out_path,
+            "--budget-tokens", "500",
+            "--shards", "3",
+        ]
+    )
+    assert rc == 0
+    cur = json.loads(capsys.readouterr().out)
+    assert cur["shards"] == 3 and cur["docs_kept"] > 0
+    got = spark.read.parquet(out_path)
+    assert "shard" in got.columns and "position" in got.columns
+    rows = got.select("shard", "position", "doc_id").collect()
+    assert len(rows) == cur["docs_kept"]
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= int(r["shard"]) < 3
+        by_shard.setdefault(int(r["shard"]), []).append(r["position"])
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # the physical layout is partitioned by shard
+    import os as _os
+
+    subdirs = [d for d in _os.listdir(out_path) if d.startswith("shard=")]
+    assert len(subdirs) == len(by_shard)

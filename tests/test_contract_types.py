@@ -107,6 +107,11 @@ STABLE_ROTATION = {
     # kernel's end-to-end driver row); suggest_prefix is r3-driver-green
     # and trivially re-verifiable (prefix scan over the cached vocab)
     "suggest_prefix",
+    # rotated in round 5 to admit training_shards (the dataloader-shard
+    # export layout); sample_stratified is r4-driver-green, map-only, and
+    # its md5 bucket machinery (h60) is exercised in-window by
+    # training_shards itself
+    "sample_stratified",
 }
 
 

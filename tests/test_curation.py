@@ -148,3 +148,45 @@ def test_connected_components_random_graphs(spark):
             ).collect()
         }
         assert got == py_components(edges), edges
+
+
+# ------------------------------------------------------------ training shards
+
+def test_training_shards_layout_invariants(spark):
+    docs = [(i, "tok " * (3 + i % 5), f"src{i % 3}") for i in range(120)]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    n_shards = 4
+    rows = C.training_shards(df, n_shards).collect()
+    # every doc appears exactly once
+    assert sorted(r["doc_id"] for r in rows) == list(range(120))
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < n_shards
+        by_shard.setdefault(r["shard"], []).append(r)
+    # positions are contiguous 1..n per shard
+    for srows in by_shard.values():
+        assert sorted(r["position"] for r in srows) == list(
+            range(1, len(srows) + 1)
+        )
+    # within-shard order follows the independent 'o|' hash (then doc_id)
+    for srows in by_shard.values():
+        srows.sort(key=lambda r: r["position"])
+        keys = [(py_h60(f"o|{r['doc_id']}"), r["doc_id"]) for r in srows]
+        assert keys == sorted(keys)
+    # shard assignment is the salted 's|' hash — the python twin agrees
+    for r in rows:
+        assert r["shard"] == py_h60(f"s|{r['doc_id']}") % n_shards
+    # token counts are whitespace tokens
+    want_toks = {i: len(t.split()) for i, t, _ in docs}
+    assert {r["doc_id"]: r["ws_tokens"] for r in rows} == want_toks
+
+
+def test_training_shards_deterministic_across_layouts(spark):
+    """Same layout regardless of input partitioning — the resumability
+    property a re-run export depends on."""
+    docs = [(i, f"alpha beta {i}", "s") for i in range(80)]
+    df1 = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    df8 = df1.repartition(8)
+    a = sorted(map(tuple, C.training_shards(df1, 5).collect()))
+    b = sorted(map(tuple, C.training_shards(df8, 5).collect()))
+    assert a == b

@@ -66,6 +66,10 @@ CHECKS = {
     # decontamination: the eval window set broadcasts; the corpus windows
     # are map-only + doc-keyed agg, never sort-merge-shuffled by hash
     "decontaminate": (["BroadcastHashJoin"], ["SortMergeJoin"]),
+    # round-5 export layout: the per-shard rank window is the ONLY wide op
+    # (one exchange keyed by shard; shards rank independently) — no joins,
+    # no global sort before the window
+    "training_shards": (["Window"], ["Join"]),
 }
 
 
