@@ -248,6 +248,19 @@ def cmd_sketch(args) -> int:
             }
             for r in hh
         ]
+    if args.quantiles:
+        qs = tuple(int(q) for q in args.quantiles.split(","))
+        rows = sketches.hist_quantiles(
+            df, args.column, n_bins=args.hist_bins, q_permille=qs
+        ).collect()
+        out["quantiles"] = [
+            {
+                "q_permille": int(r["q_permille"]),
+                "est_lo": int(r["est_lo"]),
+                "est_hi": int(r["est_hi"]),
+            }
+            for r in rows
+        ]
     print(json.dumps(out))
     return 0
 
@@ -477,6 +490,12 @@ def main(argv: list[str] | None = None) -> int:
         "(0 = skip the frequency sketch)",
     )
     sk.add_argument("--hh-top", type=int, default=20)
+    sk.add_argument(
+        "--quantiles", default="",
+        help="comma-separated per-mille quantiles (e.g. 250,500,990) to "
+        "estimate with the mergeable histogram sketch ('' = skip)",
+    )
+    sk.add_argument("--hist-bins", type=int, default=256)
     sk.set_defaults(fn=cmd_sketch)
 
     an = sub.add_parser("ann")

@@ -936,6 +936,18 @@ def q_cuckoo_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key")
 
 
+HIST_BINS = 64  # histogram-quantile sketch resolution for the gate query
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile sketch over document lengths: the
+    percentile-cutoff primitive a curation pass thresholds on (one min/max
+    scan + one <=n_bins-row shuffle; all-integer arithmetic, quantile
+    reported as the containing bin's bounds)."""
+    lens = _docs(spark, sf_dir).select(F.length("text").alias("text_len"))
+    return sketches.hist_quantiles(lens, "text_len", n_bins=HIST_BINS)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality signal: mean token log-probability under the
     corpus's own unigram distribution (the CCNet-perplexity stand-in)."""
@@ -1976,6 +1988,11 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
         "SELECT doc_id AS key FROM documents WHERE doc_id % 2 = 0",
         "SELECT doc_id AS key FROM documents WHERE doc_id % 2 = 1",
     ),
+    "hist_quantiles": sketches.hist_quantiles_sql(
+        "(SELECT length(text) AS text_len FROM documents)",
+        "text_len",
+        n_bins=HIST_BINS,
+    ),
     "repetition_stats": textstats.repetition_stats_sql("documents", "doc_id", "text"),
     "dup_windows": dedup.duplicated_windows_sql("documents", k=DUP_WINDOW_K),
     "doc_dup_window_frac": dedup.doc_dup_window_frac_sql("documents", k=DUP_WINDOW_K),
@@ -2018,6 +2035,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_fpr_audit": q_bloom_fpr_audit,
         "cuckoo_fpr_audit": q_cuckoo_fpr_audit,
+        # round 5: the distribution sketch joins the cardinality/frequency
+        # sketches in-window (token_budget_mix rotates back: r4-driver-
+        # green, and its per-group window shape is exercised in-window by
+        # training_shards)
+        "hist_quantiles": q_hist_quantiles,
         "span_stats": q_span_stats,
         "anchor_stats": q_anchor_stats,
         "decontaminate": q_decontaminate,
@@ -2050,7 +2072,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window slot (rotated back: r4-driver-green, map-only, and its md5
         # bucket machinery is exercised in-window by training_shards itself)
         "training_shards": q_training_shards,
-        "token_budget_mix": q_token_budget_mix,
         "curation_pipeline": q_curation_pipeline,
         "emb_dedup_clusters": q_emb_dedup_clusters,
         "stream_dedup": q_stream_dedup,
@@ -2072,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by the same operators elsewhere in the window, re-verifiable locally
     # via tools/check_contract.py in seconds
     qs.update({
+        "token_budget_mix": q_token_budget_mix,
         "sample_stratified": q_sample_stratified,
         "suggest_prefix": q_suggest_prefix,
         "doc_stats": q_doc_stats,

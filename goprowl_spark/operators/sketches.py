@@ -1,6 +1,7 @@
-"""Probabilistic sketches for frontier-scale cardinality and frequency:
-HyperLogLog distinct counting, Count-Min frequency estimation, and a
-Bloom-filter false-positive audit.
+"""Probabilistic sketches for frontier-scale cardinality, frequency and
+distribution: HyperLogLog distinct counting, Count-Min frequency
+estimation, Bloom/cuckoo false-positive audits, and mergeable
+histogram quantiles.
 
 Why these live in a crawl engine: a 10^10-URL frontier cannot afford exact
 answers to "how many distinct URLs/hosts have we seen" (HLL — the
@@ -30,6 +31,9 @@ Scale shapes (the reason sketches exist):
   (map-side combine); the sketch (d*w rows) then BROADCASTS to estimate
   any number of candidates map-only.
 * Bloom audit: bit table is <= m rows -> broadcast; probes never shuffle.
+* Histogram quantiles: one min/max scan + ONE partial-aggregated shuffle
+  of <= n_bins rows per partition; histograms over the same bounds merge
+  by adding counts, so per-shard/per-day quantiles compose.
 """
 
 from __future__ import annotations
@@ -612,4 +616,130 @@ SELECT key, n_bits_hit,
          AS false_positive
 FROM hits
 ORDER BY key
+"""
+
+
+# ---------------------------------------------------- histogram quantiles
+# The distribution sketch next to HLL (cardinality) and Count-Min
+# (frequency): mergeable fixed-width histogram quantiles. Curation
+# thresholds are usually PERCENTILE cutoffs ("drop docs below the p10
+# length", "cap at the p99 token count"); exact quantiles at 100 TB need
+# a global sort, while the histogram needs one min/max scan plus ONE
+# partial-aggregated shuffle of <= n_bins rows per partition — and two
+# histograms over the same bounds merge by adding counts (per-day /
+# per-shard quantiles compose by construction). All arithmetic is
+# INTEGER (bin = (v - lo) DIV w with w = (hi - lo) DIV n_bins + 1;
+# rank = integer ceil), and the quantile is reported as the containing
+# bin's [est_lo, est_hi] bounds — resolution = one bin width, an honest
+# deterministic error bar — so the DuckDB twin is bit-exact with no
+# IEEE-double or DECIMAL-promotion edge cases anywhere.
+
+
+def hist_quantiles(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 256,
+    q_permille: tuple[int, ...] = (250, 500, 750, 900, 990),
+) -> DataFrame:
+    """(q_permille, rank, bin, est_lo, est_hi) — one row per requested
+    per-mille quantile; the exact q-quantile value lies in [est_lo,
+    est_hi] (the containing bin's bounds). The min/max/count bounds ride
+    in-plan via a broadcast 1-row cross join — nothing touches the
+    driver; the cumulative window runs over <= n_bins rows (a constant,
+    whatever the input size), so the unpartitioned window is metadata
+    work, not a scale hazard."""
+    nb = int(n_bins)
+    vals = df.select(F.col(col).cast("long").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    bounds = vals.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("v").alias("n")
+    )
+    # w = (hi-lo) DIV n_bins + 1 > (hi-lo)/n_bins, so bins land in
+    # [0, n_bins-1]; integer DIV matches DuckDB's // exactly
+    binned = (
+        vals.join(F.broadcast(bounds))
+        .select(F.expr(f"(v - lo) DIV ((hi - lo) DIV {nb} + 1)").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.withColumn("cum", F.sum("cnt").over(wcum))
+    targets = bounds.select(
+        F.explode(
+            F.array(*[F.lit(int(q)) for q in q_permille])
+        ).alias("q_permille"),
+        "lo",
+        "hi",
+        "n",
+    ).withColumn(
+        # integer ceil(q*n/1000), clamped to >= 1
+        "rank",
+        F.expr("greatest(CAST(1 AS BIGINT), (q_permille * n + 999) DIV 1000)"),
+    )
+    hit = (
+        targets.join(cum, F.col("cum") >= F.col("rank"))
+        .groupBy("q_permille", "rank", "lo", "hi")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return (
+        hit.select(
+            F.col("q_permille").cast("long").alias("q_permille"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("bin").cast("long").alias("bin"),
+            F.expr(f"lo + bin * ((hi - lo) DIV {nb} + 1)")
+            .cast("long")
+            .alias("est_lo"),
+            F.expr(f"least(hi, lo + (bin + 1) * ((hi - lo) DIV {nb} + 1) - 1)")
+            .cast("long")
+            .alias("est_hi"),
+        )
+        .orderBy("q_permille")
+    )
+
+
+def hist_quantiles_sql(
+    table: str,
+    expr: str,
+    n_bins: int = 256,
+    q_permille: tuple[int, ...] = (250, 500, 750, 900, 990),
+) -> str:
+    """DuckDB twin — same integer bin/rank arithmetic (// == Spark DIV);
+    the window sum casts to BIGINT (DuckDB promotes to HUGEINT, which the
+    driver's value hash rejects)."""
+    nb = int(n_bins)
+    qs = ", ".join(str(int(q)) for q in q_permille)
+    return f"""
+WITH vals AS (
+  SELECT CAST({expr} AS BIGINT) AS v FROM {table} WHERE ({expr}) IS NOT NULL
+),
+bounds AS (SELECT min(v) AS lo, max(v) AS hi, count(v) AS n FROM vals),
+binned AS (
+  SELECT (v - lo) // ((hi - lo) // {nb} + 1) AS bin, count(*) AS cnt
+  FROM vals, bounds GROUP BY 1
+),
+cum AS (
+  SELECT bin,
+         CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM binned
+),
+targets AS (
+  SELECT q_permille, lo, hi, n,
+         greatest(CAST(1 AS BIGINT), (q_permille * n + 999) // 1000) AS rank
+  FROM (SELECT unnest([{qs}]) AS q_permille), bounds
+),
+hit AS (
+  SELECT t.q_permille, t.rank, t.lo, t.hi, min(c.bin) AS bin
+  FROM targets t JOIN cum c ON c.cum >= t.rank
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(q_permille AS BIGINT) AS q_permille,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(bin AS BIGINT) AS bin,
+       CAST(lo + bin * ((hi - lo) // {nb} + 1) AS BIGINT) AS est_lo,
+       CAST(least(hi, lo + (bin + 1) * ((hi - lo) // {nb} + 1) - 1)
+            AS BIGINT) AS est_hi
+FROM hit
+ORDER BY q_permille
 """

@@ -269,3 +269,33 @@ def test_cli_curate_shard_export(spark, tmp_path, capsys):
 
     subdirs = [d for d in _os.listdir(out_path) if d.startswith("shard=")]
     assert len(subdirs) == len(by_shard)
+
+
+def test_cli_sketch_quantiles(spark, capsys):
+    """sketch --quantiles: histogram-quantile estimates whose [est_lo,
+    est_hi] brackets the exact per-mille quantile of the column."""
+    rc = cli.main(
+        [
+            "sketch",
+            "--input", "/root/testdata/sf0.001/events.parquet",
+            "--column", "user_id",
+            "--quantiles", "250,500,990",
+            "--hist-bins", "64",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    qs = {q["q_permille"]: q for q in out["quantiles"]}
+    assert set(qs) == {250, 500, 990}
+    vals = sorted(
+        r["user_id"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        ).collect()
+    )
+    import math
+
+    for qp, q in qs.items():
+        exact = vals[max(0, math.ceil(qp * len(vals) / 1000) - 1)]
+        assert q["est_lo"] <= exact <= q["est_hi"]
+        assert q["est_lo"] <= q["est_hi"]

@@ -112,6 +112,11 @@ STABLE_ROTATION = {
     # its md5 bucket machinery (h60) is exercised in-window by
     # training_shards itself
     "sample_stratified",
+    # rotated in round 5 to admit hist_quantiles (the distribution sketch
+    # next to HLL/CMS); token_budget_mix is r4-driver-green and its
+    # per-group cumulative-window shape is exercised in-window by
+    # training_shards' per-shard rank window
+    "token_budget_mix",
 }
 
 

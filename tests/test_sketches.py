@@ -298,3 +298,55 @@ class TestCuckoo:
             b2 = b1 ^ kick
             assert 0 <= b2 < nb
             assert b2 ^ kick == b1
+
+
+# ----------------------------------------------------- histogram quantiles
+
+def test_hist_quantiles_containment_and_oracle(spark):
+    """Every reported [est_lo, est_hi] must contain the exact rank-order
+    quantile, bit-exactly matching the DuckDB twin (all-integer bin math)."""
+    import duckdb
+    import numpy as np
+
+    from goprowl_spark.operators.sketches import (
+        hist_quantiles,
+        hist_quantiles_sql,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [
+            rng.integers(0, 5000, 2500),        # bulk
+            rng.integers(400000, 400050, 40),   # far outlier tail
+            np.full(200, 7),                    # heavy spike
+        ]
+    )
+    df = spark.createDataFrame([(int(v),) for v in vals], ["x"])
+    got = sorted(tuple(r) for r in hist_quantiles(df, "x", n_bins=64).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS x", [vals.tolist()])
+    want = sorted(con.sql(hist_quantiles_sql("t", "x", n_bins=64)).fetchall())
+    assert got == want
+    sv = np.sort(vals)
+    for _qp, rank, _bin, lo, hi in got:
+        assert lo <= sv[rank - 1] <= hi
+
+
+def test_hist_quantiles_merge_property(spark):
+    """Two histograms over the same bounds merge by adding counts: the
+    sketch of a union equals the union's sketch (same bins, same answer) —
+    checked by splitting the input arbitrarily and comparing to the whole."""
+    import numpy as np
+
+    from goprowl_spark.operators.sketches import hist_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 100000, 4000)
+    whole = spark.createDataFrame([(int(v),) for v in vals], ["x"])
+    # arbitrary 2-way partition of the same rows, recombined
+    parts = spark.createDataFrame(
+        [(int(v),) for v in vals[::2]] + [(int(v),) for v in vals[1::2]], ["x"]
+    )
+    a = sorted(tuple(r) for r in hist_quantiles(whole, "x", n_bins=32).collect())
+    b = sorted(tuple(r) for r in hist_quantiles(parts, "x", n_bins=32).collect())
+    assert a == b

@@ -70,6 +70,13 @@ CHECKS = {
     # (one exchange keyed by shard; shards rank independently) — no joins,
     # no global sort before the window
     "training_shards": (["Window"], ["Join"]),
+    # round-5 distribution sketch: one partial-agg bin shuffle; bounds and
+    # the <=n_bins quantile join travel broadcast (metadata-sized), never
+    # sort-merge-shuffled
+    "hist_quantiles": (
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 }
 
 
