@@ -743,3 +743,97 @@ SELECT CAST(q_permille AS BIGINT) AS q_permille,
 FROM hit
 ORDER BY q_permille
 """
+
+
+def hll_distinct_by(df: DataFrame, group_col: str, col: str) -> DataFrame:
+    """Per-group HLL: (group, n_zero_registers, hll_estimate,
+    exact_distinct, rel_err) — one row per group. The 100-TB pattern this
+    exists for is per-host frontier cardinality ("how many distinct URLs
+    has each host contributed") where a groupBy-countDistinct would
+    shuffle every distinct value: here the wide shuffle carries at most m
+    register rows PER GROUP (map-side partial max), and per-group
+    sketches merge across days/partitions by MAX(rho). ``exact_distinct``
+    / ``rel_err`` are audit columns (they pay the exact countDistinct) —
+    drop them in production and keep the estimate.
+
+    Same registers, float op order and small-range correction as
+    hll_distinct, so the DuckDB twin is exact."""
+    register, rho = _hll_register_cols(F.col(col).cast("string"))
+    regs = (
+        df.select(F.col(group_col).alias("grp"), register, rho)
+        .groupBy("grp", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    summary = regs.groupBy("grp").agg(
+        (F.lit(HLL_M) - F.count("*")).cast("long").alias("n_zero_registers"),
+        (
+            F.sum(F.expr(f"CAST(pow(2.0, {_RHO_MAX} - rho) AS BIGINT)"))
+            + (F.lit(HLL_M).cast("long") - F.count("*")) * F.lit(_SCALE)
+        ).alias("sum_scaled"),
+    )
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(F.col(col)).alias("exact_distinct")
+    )
+    raw = F.lit(_HLL_PREF) / F.col("sum_scaled")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("n_zero_registers") > 0),
+        F.log(F.lit(float(HLL_M)) / F.col("n_zero_registers"))
+        * F.lit(float(HLL_M)),
+    ).otherwise(raw)
+    return (
+        summary.join(exact, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_zero_registers"),
+            F.round(est, 6).alias("hll_estimate"),
+            F.col("exact_distinct"),
+            F.round(
+                (est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def hll_distinct_by_sql(table: str, group_expr: str, expr: str) -> str:
+    """DuckDB twin of hll_distinct_by — hll_distinct_sql with GROUP BY."""
+    h = h60_sql(f"CAST({expr} AS VARCHAR)")
+    raw = f"CAST('{_HLL_PREF!r}' AS DOUBLE) / sum_scaled"
+    lin = f"ln(CAST({HLL_M} AS DOUBLE) / n_zero_registers) * CAST({HLL_M} AS DOUBLE)"
+    return f"""
+WITH hashed AS (
+  SELECT {group_expr} AS grp, {h} AS h FROM {table}
+),
+regs AS (
+  SELECT grp, h // {_W_MOD} AS register,
+         CASE WHEN h % {_W_MOD} = 0 THEN {_RHO_MAX}
+              ELSE {_RHO_MAX} - length(bin(h % {_W_MOD})) END AS rho
+  FROM hashed
+),
+sketch AS (
+  SELECT grp, register, max(rho) AS rho FROM regs GROUP BY grp, register
+),
+summary AS (
+  SELECT grp,
+         CAST({HLL_M} - count(*) AS BIGINT) AS n_zero_registers,
+         CAST(sum(CAST(pow(2.0, {_RHO_MAX} - rho) AS BIGINT))
+              + ({HLL_M} - count(*)) * {_SCALE} AS BIGINT) AS sum_scaled
+  FROM sketch GROUP BY grp
+),
+exact AS (
+  SELECT {group_expr} AS grp, count(DISTINCT {expr}) AS exact_distinct
+  FROM {table} GROUP BY grp
+)
+SELECT s.grp AS {group_expr},
+       n_zero_registers,
+       round(CASE WHEN {raw} <= {2.5 * HLL_M} AND n_zero_registers > 0
+                  THEN {lin}
+                  ELSE {raw} END, 6) AS hll_estimate,
+       exact_distinct,
+       round((CASE WHEN {raw} <= {2.5 * HLL_M} AND n_zero_registers > 0
+                   THEN {lin}
+                   ELSE {raw} END - exact_distinct) / exact_distinct, 6)
+         AS rel_err
+FROM summary s JOIN exact e ON s.grp = e.grp
+ORDER BY s.grp
+"""

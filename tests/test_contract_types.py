@@ -117,6 +117,14 @@ STABLE_ROTATION = {
     # per-group cumulative-window shape is exercised in-window by
     # training_shards' per-shard rank window
     "token_budget_mix",
+    # rotated in round 5 to admit hll_distinct_by (per-group HLL);
+    # media_decode is r3-driver-green and the real codec path keeps an
+    # in-window witness (media_pixel_stats); emb_lsh_pairs is
+    # r4-driver-green with its full-signature DuckDB replay, its h60
+    # hashing shared by every in-window emb_* query and its exact-cosine
+    # verify path exercised in-window by emb_cosine_pairs
+    "media_decode",
+    "emb_lsh_pairs",
 }
 
 

@@ -350,3 +350,28 @@ def test_hist_quantiles_merge_property(spark):
     a = sorted(tuple(r) for r in hist_quantiles(whole, "x", n_bins=32).collect())
     b = sorted(tuple(r) for r in hist_quantiles(parts, "x", n_bins=32).collect())
     assert a == b
+
+
+def test_hll_distinct_by_matches_global_per_group(spark):
+    """Per-group HLL must equal running the global sketch on each group's
+    rows alone (same registers, same correction), and every group's
+    estimate must respect the published error envelope."""
+    import numpy as np
+
+    from goprowl_spark.operators.sketches import hll_distinct, hll_distinct_by
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (f"g{int(v) % 3}", int(rng.integers(0, 2000)))
+        for v in rng.integers(0, 3, 6000)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    per_group = {
+        r["grp"]: (r["hll_estimate"], r["exact_distinct"], r["rel_err"])
+        for r in hll_distinct_by(df, "grp", "val").collect()
+    }
+    assert set(per_group) == {"g0", "g1", "g2"}
+    for g, (est, exact, rel) in per_group.items():
+        solo = hll_distinct(df.where(df.grp == g), "val").collect()[0]
+        assert (solo["hll_estimate"], solo["exact_distinct"]) == (est, exact)
+        assert abs(rel) < 0.15

@@ -77,6 +77,10 @@ CHECKS = {
         ["HashAggregate", "BroadcastNestedLoopJoin"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
+    # round-5 per-group HLL: partial-agg register cascade; the
+    # sketch-vs-audit join over n_groups rows stays broadcast at contract
+    # scale
+    "hll_distinct_by": (["HashAggregate"], ["SortMergeJoin"]),
 }
 
 
