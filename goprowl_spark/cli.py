@@ -157,8 +157,12 @@ def cmd_curate(args) -> int:
     out = docs.join(mix.select("doc_id", "ws_tokens", "cum_tokens"), "doc_id")
     if args.shards:
         # dataloader layout: deterministic shard + within-shard position,
-        # written as one parquet directory per shard (partitionBy)
-        layout = curation.training_shards(out, args.shards)
+        # written as one parquet directory per shard (partitionBy). The
+        # mixture is persisted first: the layout self-joins it, and an
+        # uncached `out` would recompute the whole curation lineage twice
+        # inside the write job.
+        out = out.persist()
+        layout = curation.training_shards(out, args.shards, tokens_col="ws_tokens")
         out = out.join(layout.select("doc_id", "shard", "position"), "doc_id")
         out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
     else:
@@ -249,7 +253,23 @@ def cmd_sketch(args) -> int:
             for r in hh
         ]
     if args.quantiles:
-        qs = tuple(int(q) for q in args.quantiles.split(","))
+        try:
+            qs = tuple(int(q) for q in args.quantiles.split(","))
+        except ValueError:
+            print(
+                f"error: --quantiles must be comma-separated integers, "
+                f"got {args.quantiles!r}",
+                file=sys.stderr,
+            )
+            return 2
+        bad = [q for q in qs if not 1 <= q <= 1000]
+        if bad:
+            print(
+                f"error: --quantiles values must be per-mille in [1, 1000], "
+                f"got {bad}",
+                file=sys.stderr,
+            )
+            return 2
         rows = sketches.hist_quantiles(
             df, args.column, n_bins=args.hist_bins, q_permille=qs
         ).collect()

@@ -39,6 +39,16 @@ from goprowl_spark.operators.dedup import h60, h60_sql
 SAMPLE_BUCKETS = 1000  # sampling resolution: rates are per-mille
 
 
+def ws_tokens(text_col: str):
+    """Whitespace token count — the ONE tokenization definition shared by
+    the mixture and the shard-export layout (both engines)."""
+    return F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("long")
+
+
+def ws_tokens_sql(text_col: str) -> str:
+    return f"len(regexp_extract_all({text_col}, '\\S+'))"
+
+
 # ------------------------------------------------------- connected components
 
 def connected_components(
@@ -197,7 +207,7 @@ def token_budget_mix(
         .orderBy(hkey.asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    toks = F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("long")
+    toks = ws_tokens(text_col)
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -262,7 +272,7 @@ def token_budget_ctes(
     hkey = h60_sql(f"CAST({id_col} AS VARCHAR)")
     return f"""sized AS (
   SELECT {id_col} AS doc_id, {source_col} AS source,
-         len(regexp_extract_all({text_col}, '\\S+')) AS ws_tokens,
+         {ws_tokens_sql(text_col)} AS ws_tokens,
          {hkey} AS hkey
   FROM {table}
 ),
@@ -304,6 +314,7 @@ def training_shards(
     n_shards: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(shard, position, doc_id, ws_tokens) — the training-export layout: a
     deterministic global pseudo-random shuffle of the corpus into
@@ -324,7 +335,13 @@ def training_shards(
     is the training-pipeline sink layered on top.
     """
     sid = F.col(id_col).cast("string")
-    toks = F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("long")
+    # a caller that already carries the token count (e.g. the curate
+    # mixture's ws_tokens) passes tokens_col and skips re-tokenizing
+    toks = (
+        F.col(tokens_col).cast("long")
+        if tokens_col is not None
+        else ws_tokens(text_col)
+    )
     keyed = df.select(
         F.col(id_col).alias("doc_id"),
         F.pmod(h60(F.concat(F.lit("s|"), sid)), F.lit(n_shards))
@@ -352,7 +369,7 @@ def training_shards_sql(
   SELECT {id_col} AS doc_id,
          ({h60_sql(f"'s|' || {sid}")} % {n_shards}) AS shard,
          {h60_sql(f"'o|' || {sid}")} AS okey,
-         CAST(len(regexp_extract_all({text_col}, '\\S+')) AS BIGINT) AS ws_tokens
+         CAST({ws_tokens_sql(text_col)} AS BIGINT) AS ws_tokens
   FROM {table}
 )
 SELECT shard,

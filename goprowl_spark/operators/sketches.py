@@ -93,6 +93,33 @@ def hll_registers(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def _hll_estimate(sum_scaled: Column, n_zero: Column) -> Column:
+    """The published estimator, shared by the global and per-group
+    sketches so the correction threshold and float op order can never
+    desynchronize: raw = alpha*m^2*2^51 / sum_scaled, with the
+    small-range linear-counting branch (E <= 2.5m and empty registers
+    -> m*ln(m/V))."""
+    raw = F.lit(_HLL_PREF) / sum_scaled
+    return F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (n_zero > 0),
+        F.log(F.lit(float(HLL_M)) / n_zero) * F.lit(float(HLL_M)),
+    ).otherwise(raw)
+
+
+def _hll_estimate_sql() -> str:
+    """SQL twin of _hll_estimate over columns named sum_scaled /
+    n_zero_registers (same literals, same op order)."""
+    raw = f"CAST('{_HLL_PREF!r}' AS DOUBLE) / sum_scaled"
+    lin = (
+        f"ln(CAST({HLL_M} AS DOUBLE) / n_zero_registers)"
+        f" * CAST({HLL_M} AS DOUBLE)"
+    )
+    return (
+        f"CASE WHEN {raw} <= {2.5 * HLL_M} AND n_zero_registers > 0 "
+        f"THEN {lin} ELSE {raw} END"
+    )
+
+
 def hll_distinct(df: DataFrame, col: str) -> DataFrame:
     """One-row summary: (m, n_zero_registers, hll_estimate, exact_distinct,
     rel_err). Carries the exact distinct count alongside the estimate so
@@ -113,12 +140,7 @@ def hll_distinct(df: DataFrame, col: str) -> DataFrame:
         ).alias("sum_scaled"),
     )
     exact = df.agg(F.countDistinct(F.col(col)).alias("exact_distinct"))
-    raw = F.lit(_HLL_PREF) / F.col("sum_scaled")
-    est = F.when(
-        (raw <= F.lit(2.5 * HLL_M)) & (F.col("n_zero_registers") > 0),
-        F.log(F.lit(float(HLL_M)) / F.col("n_zero_registers"))
-        * F.lit(float(HLL_M)),
-    ).otherwise(raw)
+    est = _hll_estimate(F.col("sum_scaled"), F.col("n_zero_registers"))
     return (
         summary.crossJoin(exact)
         .select(
@@ -137,8 +159,7 @@ def hll_distinct_sql(table: str, expr: str) -> str:
     """DuckDB twin of hll_distinct — same hash, same integer registers,
     same float op order, same correction branch."""
     h = h60_sql(f"CAST({expr} AS VARCHAR)")
-    raw = f"CAST('{_HLL_PREF!r}' AS DOUBLE) / sum_scaled"
-    lin = f"ln(CAST({HLL_M} AS DOUBLE) / n_zero_registers) * CAST({HLL_M} AS DOUBLE)"
+    est = _hll_estimate_sql()
     return f"""
 WITH hashed AS (
   SELECT {h} AS h FROM {table}
@@ -159,13 +180,9 @@ summary AS (
 exact AS (SELECT count(DISTINCT {expr}) AS exact_distinct FROM {table})
 SELECT CAST({HLL_M} AS INT) AS m,
        n_zero_registers,
-       round(CASE WHEN {raw} <= {2.5 * HLL_M} AND n_zero_registers > 0
-                  THEN {lin}
-                  ELSE {raw} END, 6) AS hll_estimate,
+       round({est}, 6) AS hll_estimate,
        exact_distinct,
-       round((CASE WHEN {raw} <= {2.5 * HLL_M} AND n_zero_registers > 0
-                   THEN {lin}
-                   ELSE {raw} END - exact_distinct) / exact_distinct, 6) AS rel_err
+       round(({est} - exact_distinct) / exact_distinct, 6) AS rel_err
 FROM summary CROSS JOIN exact
 """
 
@@ -774,12 +791,7 @@ def hll_distinct_by(df: DataFrame, group_col: str, col: str) -> DataFrame:
     exact = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.countDistinct(F.col(col)).alias("exact_distinct")
     )
-    raw = F.lit(_HLL_PREF) / F.col("sum_scaled")
-    est = F.when(
-        (raw <= F.lit(2.5 * HLL_M)) & (F.col("n_zero_registers") > 0),
-        F.log(F.lit(float(HLL_M)) / F.col("n_zero_registers"))
-        * F.lit(float(HLL_M)),
-    ).otherwise(raw)
+    est = _hll_estimate(F.col("sum_scaled"), F.col("n_zero_registers"))
     return (
         summary.join(exact, "grp")
         .select(
@@ -798,8 +810,7 @@ def hll_distinct_by(df: DataFrame, group_col: str, col: str) -> DataFrame:
 def hll_distinct_by_sql(table: str, group_expr: str, expr: str) -> str:
     """DuckDB twin of hll_distinct_by — hll_distinct_sql with GROUP BY."""
     h = h60_sql(f"CAST({expr} AS VARCHAR)")
-    raw = f"CAST('{_HLL_PREF!r}' AS DOUBLE) / sum_scaled"
-    lin = f"ln(CAST({HLL_M} AS DOUBLE) / n_zero_registers) * CAST({HLL_M} AS DOUBLE)"
+    est = _hll_estimate_sql()
     return f"""
 WITH hashed AS (
   SELECT {group_expr} AS grp, {h} AS h FROM {table}
@@ -826,14 +837,9 @@ exact AS (
 )
 SELECT s.grp AS {group_expr},
        n_zero_registers,
-       round(CASE WHEN {raw} <= {2.5 * HLL_M} AND n_zero_registers > 0
-                  THEN {lin}
-                  ELSE {raw} END, 6) AS hll_estimate,
+       round({est}, 6) AS hll_estimate,
        exact_distinct,
-       round((CASE WHEN {raw} <= {2.5 * HLL_M} AND n_zero_registers > 0
-                   THEN {lin}
-                   ELSE {raw} END - exact_distinct) / exact_distinct, 6)
-         AS rel_err
+       round(({est} - exact_distinct) / exact_distinct, 6) AS rel_err
 FROM summary s JOIN exact e ON s.grp = e.grp
 ORDER BY s.grp
 """

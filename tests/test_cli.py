@@ -299,3 +299,19 @@ def test_cli_sketch_quantiles(spark, capsys):
         exact = vals[max(0, math.ceil(qp * len(vals) / 1000) - 1)]
         assert q["est_lo"] <= exact <= q["est_hi"]
         assert q["est_lo"] <= q["est_hi"]
+
+
+def test_cli_sketch_quantiles_rejects_bad_input(spark, capsys):
+    """Malformed or out-of-range --quantiles must exit 2 with a usage
+    error, not a raw traceback (and not silently drop values)."""
+    for bad in ("250,", "25%", "250 500", "1500", "0"):
+        rc = cli.main(
+            [
+                "sketch",
+                "--input", "/root/testdata/sf0.001/events.parquet",
+                "--column", "user_id",
+                "--quantiles", bad,
+            ]
+        )
+        assert rc == 2, bad
+        capsys.readouterr()

@@ -67,7 +67,6 @@ STABLE_ROTATION = {
     "pagination",
     "type_filter",
     "anti_join",
-    "media_decode",
     # rotated in round 4 to admit repetition_stats / dup_windows /
     # doc_dup_window_frac / emb_pq_topk: all four rotated rows were
     # driver-green in r3 (agg_q1 / broadcast_join_agg in r1-r3), and their
