@@ -304,12 +304,15 @@ BM25_QUERY = "spark data join"
 
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_spread(spark, sf_dir)
-    postings = ranking.build_postings(docs, text_col="text")
-    stats = ranking.build_doc_stats(docs, text_col="text")
     # N over the raw parquet scan: a zero-column count (metadata speed),
     # not a count over the repartition shuffle the spread scan would pay
     n_docs = _docs(spark, sf_dir).count()
-    scored = ranking.tfidf_scores(spark, postings, stats, n_docs, TFIDF_QUERY)
+    # fused single-pass scorer (r6): one tokenize Generate carrying doc_len
+    # instead of separate postings + doc_stats passes — same scores, same
+    # oracle (ranking.tfidf_scores_docs docstring has the equivalence note)
+    scored = ranking.tfidf_scores_docs(
+        spark, docs, n_docs, TFIDF_QUERY, text_col="text"
+    )
     return scored.select("doc_id", F.round("score", 4).alias("score")).orderBy(
         F.col("score").desc(), "doc_id"
     )
@@ -317,10 +320,10 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_spread(spark, sf_dir)
-    postings = ranking.build_postings(docs, text_col="text")
-    stats = ranking.build_doc_stats(docs, text_col="text")
     n_docs = _docs(spark, sf_dir).count()
-    scored = ranking.bm25_scores(spark, postings, stats, n_docs, BM25_QUERY)
+    scored = ranking.bm25_scores_docs(
+        spark, docs, n_docs, BM25_QUERY, text_col="text"
+    )
     return scored.select("doc_id", F.round("score", 4).alias("score")).orderBy(
         F.col("score").desc(), "doc_id"
     )
@@ -336,12 +339,14 @@ BATCH_QUERIES = {
 
 
 def q_tfidf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF twin of bm25_batch — same one-pass batch serving shape."""
-    docs = _docs_spread(spark, sf_dir)
-    postings = ranking.build_postings(docs, text_col="text")
-    stats = ranking.build_doc_stats(docs, text_col="text")
-    scored = ranking.tfidf_scores_batch(
-        spark, postings, stats, _docs(spark, sf_dir).count(), BATCH_QUERIES
+    """TF-IDF twin of bm25_batch — same one-pass batch serving shape
+    (fused single-pass postings since r6; same scores, same oracle)."""
+    scored = ranking.tfidf_scores_batch_docs(
+        spark,
+        _docs_spread(spark, sf_dir),
+        _docs(spark, sf_dir).count(),
+        BATCH_QUERIES,
+        text_col="text",
     )
     return scored.select(
         "query_id", "doc_id", F.round("score", 4).alias("score")
@@ -350,12 +355,14 @@ def q_tfidf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N queries scored in ONE postings pass (the serving shape: one
-    broadcast of all query terms, one scan, (query_id, doc_id, score))."""
-    docs = _docs_spread(spark, sf_dir)
-    postings = ranking.build_postings(docs, text_col="text")
-    stats = ranking.build_doc_stats(docs, text_col="text")
-    scored = ranking.bm25_scores_batch(
-        spark, postings, stats, _docs(spark, sf_dir).count(), BATCH_QUERIES
+    broadcast of all query terms, one scan, (query_id, doc_id, score));
+    fused single-pass postings since r6 — same scores, same oracle."""
+    scored = ranking.bm25_scores_batch_docs(
+        spark,
+        _docs_spread(spark, sf_dir),
+        _docs(spark, sf_dir).count(),
+        BATCH_QUERIES,
+        text_col="text",
     )
     return scored.select(
         "query_id", "doc_id", F.round("score", 4).alias("score")

@@ -83,7 +83,7 @@ def word(i: int, k: int) -> str:
 
 
 def title(i: int) -> str:
-    return f"Page {i} {word(i, 0)} {word(i, 1)} {word(i, 2)}"
+    return f"Page {i} {_TITLE_TAIL_BY_START[(i * 31) % _V]}"
 
 
 # body: N_PARAS paragraphs of PARA_WORDS words — keeps synthetic pages in a
@@ -93,10 +93,25 @@ N_PARAS = 3
 PARA_WORDS = 30
 
 
+# word(i, m) = VOCAB[(i*31 + m*7) % V]: as the word position advances the
+# vocab index steps by a constant 7 (mod V), so a PARA_WORDS-word run is
+# fully determined by its starting index — there are only V distinct
+# paragraph strings (and V distinct 3-word title tails). Precomputing them
+# removes the join-of-genexpr from the synthetic fetcher's per-URL hot path
+# (guide §4.2: per-batch Python work); bit-identity with the definitional
+# form is pinned in tests/test_fetcher.py.
+_V = len(VOCAB)
+_PARA_BY_START = [
+    " ".join(VOCAB[(s + 7 * j) % _V] for j in range(PARA_WORDS))
+    for s in range(_V)
+]
+_TITLE_TAIL_BY_START = [
+    " ".join(VOCAB[(s + 7 * j) % _V] for j in range(3)) for s in range(_V)
+]
+
+
 def paragraph(i: int, k: int) -> str:
-    return " ".join(
-        word(i, 3 + k * PARA_WORDS + j) for j in range(PARA_WORDS)
-    )
+    return _PARA_BY_START[(i * 31 + (3 + k * PARA_WORDS) * 7) % _V]
 
 
 def paragraphs(i: int) -> list[str]:

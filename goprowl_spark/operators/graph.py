@@ -37,7 +37,17 @@ def hits(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint()
     ranks = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+
+    def _norm_col(z):
+        # the collect-era guard was `... or 1.0`: empty/zero norm → divide
+        # by 1.0; the in-plan form must coalesce null AND map 0 → 1.0
+        z = F.coalesce(z, F.lit(0.0))
+        return F.when(z == 0.0, F.lit(1.0)).otherwise(z)
+
     for _ in range(iters):
+        # L2 normalizers fold IN-PLAN as broadcast 1-row cross joins (the
+        # avgdl idiom, ranking.bm25_scores) — no scalar collect job per
+        # iteration; each iteration is the localCheckpoint job only
         auth_new = (
             e.join(ranks, e["src"] == ranks["node"])
             .groupBy("dst")
@@ -47,11 +57,13 @@ def hits(
             auth_new, nodes["node"] == auth_new["dst"], "left"
         ).select("node", F.coalesce(F.col("a"), F.lit(0.0)).alias("a"))
         norm_a = with_auth.agg(
-            F.sqrt(F.sum(F.col("a") * F.col("a")))
-        ).collect()[0][0] or 1.0
-        with_auth = with_auth.select(
-            "node", (F.col("a") / norm_a).alias("auth")
-        ).localCheckpoint()
+            F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("_za")
+        )
+        with_auth = (
+            with_auth.crossJoin(F.broadcast(norm_a))
+            .select("node", (F.col("a") / _norm_col(F.col("_za"))).alias("auth"))
+            .localCheckpoint()
+        )
         hub_new = (
             e.join(with_auth, e["dst"] == with_auth["node"])
             .groupBy("src")
@@ -61,9 +73,11 @@ def hits(
             hub_new, nodes["node"] == hub_new["src"], "left"
         ).select("node", F.coalesce(F.col("h"), F.lit(0.0)).alias("h"))
         norm_h = with_hub.agg(
-            F.sqrt(F.sum(F.col("h") * F.col("h")))
-        ).collect()[0][0] or 1.0
-        with_hub = with_hub.select("node", (F.col("h") / norm_h).alias("hub"))
+            F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("_zh")
+        )
+        with_hub = with_hub.crossJoin(F.broadcast(norm_h)).select(
+            "node", (F.col("h") / _norm_col(F.col("_zh"))).alias("hub")
+        )
         ranks = (
             with_hub.join(with_auth, "node")
             .select("node", "hub", "auth")
@@ -99,18 +113,21 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )
+        # dangling mass folds IN-PLAN (broadcast 1-row cross join — the
+        # avgdl idiom): no scalar collect job per iteration
         dangling = (
             ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dang"))
         )
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
-                    + damping * (F.coalesce(F.col("c"), F.lit(0.0)) + dangling / n)
+                    + damping
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("_dang") / n)
                 ).alias("pr"),
             )
             .localCheckpoint()

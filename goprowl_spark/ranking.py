@@ -97,6 +97,112 @@ def _pushdown_query_terms(postings: DataFrame, terms: list[str]) -> DataFrame:
     return postings.where(F.col("term").isin(terms))
 
 
+def _fused_query_postings(
+    documents: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """(doc_id, doc_len, term, tf) for the query terms only, in ONE
+    tokenize pass over the corpus (guide §1.2 step 1 / §2.3).
+
+    The separate build_postings + build_doc_stats + doc_stats-join shape
+    tokenizes the corpus once per branch (three scan+regex passes for a
+    BM25 query, plus a doc_id join); carrying doc_len through the explode
+    collapses all of it into one Generate and removes the doc_stats join
+    outright — the aggregation key gains ``doc_len``, which is functionally
+    dependent on doc_id, so (term, doc_id, tf) groups are identical.
+    The literal IN filter on ``term`` prunes the exploded stream before the
+    partial aggregation exactly like _pushdown_query_terms."""
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("__toks"),
+    )
+    exploded = toks.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("doc_len"),
+        F.explode("__toks").alias("term"),
+    )
+    if terms:
+        exploded = exploded.where(F.col("term").isin(terms))
+    return exploded.groupBy("doc_id", "doc_len", "term").agg(
+        F.count("*").alias("tf")
+    )
+
+
+def tfidf_scores_docs(
+    spark: SparkSession,
+    documents: DataFrame,
+    total_docs: int,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """:func:`tfidf_scores` computed straight from the documents table via
+    the fused single-pass postings (same scores, same order; equivalence
+    pinned against the unchanged DuckDB oracle)."""
+    terms = _query_terms_df(spark, query)
+    qpost = _fused_query_postings(
+        documents, list(dict.fromkeys(tokenize(query))), id_col, text_col
+    ).join(F.broadcast(terms), "term")
+    df_col = F.count("*").over(Window.partitionBy("term"))
+    idf = 1.0 + F.floor(F.lit(float(total_docs)) / F.col("df"))
+    scored = (
+        qpost.withColumn("df", df_col)
+        .select(
+            "doc_id",
+            (
+                F.col("mult")
+                * (F.col("tf").cast("double") / F.col("doc_len"))
+                * idf
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+
+def bm25_scores_docs(
+    spark: SparkSession,
+    documents: DataFrame,
+    total_docs: int,
+    query: str,
+    boost: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """:func:`bm25_scores` from the documents table via the fused
+    single-pass postings. avgdl stays in-plan (broadcast 1-row cross join)
+    and aggregates over the SAME spread scan subtree as the postings pass,
+    so AQE reuses one shuffle for both branches instead of re-tokenizing
+    per branch."""
+    terms = _query_terms_df(spark, query)
+    qpost = _fused_query_postings(
+        documents, list(dict.fromkeys(tokenize(query))), id_col, text_col
+    ).join(F.broadcast(terms), "term")
+    df_col = F.count("*").over(Window.partitionBy("term"))
+    avgdl = documents.agg(
+        F.coalesce(
+            F.avg(F.size(tokens_col(F.col(text_col)))), F.lit(0.0)
+        ).alias("_avgdl")
+    )
+    base = qpost.withColumn("df", df_col).crossJoin(F.broadcast(avgdl))
+    n = F.lit(float(total_docs))
+    idf = F.log(1 + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf = F.col("tf").cast("double")
+    denom = tf + K1 * (1 - B + B * F.col("doc_len") / F.col("_avgdl"))
+    scored = (
+        base.select(
+            "doc_id",
+            (F.col("mult") * idf * (tf * (K1 + 1)) / denom).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg((F.sum("term_score") * F.lit(boost)).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+
 def tfidf_scores(
     spark: SparkSession,
     postings: DataFrame,
@@ -245,6 +351,80 @@ def tfidf_scores_batch(
                 * (F.col("tf").cast("double") / F.col("doc_len"))
                 * idf
             ).alias("term_score"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+
+
+def tfidf_scores_batch_docs(
+    spark: SparkSession,
+    documents: DataFrame,
+    total_docs: int,
+    queries: dict[str, str],
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """:func:`tfidf_scores_batch` from the documents table via the fused
+    single-pass postings (one tokenize Generate carrying doc_len; no
+    doc_stats join). Same scores, same oracle."""
+    terms = spark.createDataFrame(
+        _batch_query_terms(queries), "query_id string, term string, mult long"
+    )
+    all_terms = sorted({t for _, t, _ in _batch_query_terms(queries)})
+    qpost = _fused_query_postings(
+        documents, all_terms, id_col, text_col
+    ).withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    idf = 1.0 + F.floor(F.lit(float(total_docs)) / F.col("df"))
+    return (
+        qpost.join(F.broadcast(terms), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("mult")
+                * (F.col("tf").cast("double") / F.col("doc_len"))
+                * idf
+            ).alias("term_score"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+
+
+def bm25_scores_batch_docs(
+    spark: SparkSession,
+    documents: DataFrame,
+    total_docs: int,
+    queries: dict[str, str],
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """:func:`bm25_scores_batch` from the documents table via the fused
+    single-pass postings; avgdl in-plan over the same scan subtree (AQE
+    reuses the spread shuffle). Same scores, same oracle."""
+    terms = spark.createDataFrame(
+        _batch_query_terms(queries), "query_id string, term string, mult long"
+    )
+    all_terms = sorted({t for _, t, _ in _batch_query_terms(queries)})
+    qpost = _fused_query_postings(
+        documents, all_terms, id_col, text_col
+    ).withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    avgdl = documents.agg(
+        F.coalesce(
+            F.avg(F.size(tokens_col(F.col(text_col)))), F.lit(0.0)
+        ).alias("_avgdl")
+    )
+    base = qpost.join(F.broadcast(terms), "term").crossJoin(F.broadcast(avgdl))
+    n = F.lit(float(total_docs))
+    idf = F.log(1 + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf = F.col("tf").cast("double")
+    denom = tf + K1 * (1 - B + B * F.col("doc_len") / F.col("_avgdl"))
+    return (
+        base.select(
+            "query_id",
+            "doc_id",
+            (F.col("mult") * idf * (tf * (K1 + 1)) / denom).alias("term_score"),
         )
         .groupBy("query_id", "doc_id")
         .agg(F.sum("term_score").alias("score"))

@@ -37,6 +37,21 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate copies the generator's input expression
+        # into a pre-exchange `size(...) > 0` filter. For this engine every
+        # explode input is an EXPENSIVE expression (regex tokenize, HOF
+        # shingling + md5) and the inferred filter (a) evaluates it a second
+        # time per row and (b) lands below the spread repartition, i.e. on
+        # the narrow scan side, serializing the costliest expression in the
+        # plan onto the input's split count; it also breaks AQE exchange
+        # reuse between branches that share the scan (measured on
+        # bm25_search: the avgdl branch re-ran the full tokenize). Scale-
+        # independent: correctness is unaffected and the pruned rows
+        # (docs with zero tokens) are a vanishing fraction at any SF.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
