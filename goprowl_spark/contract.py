@@ -304,14 +304,17 @@ BM25_QUERY = "spark data join"
 
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_spread(spark, sf_dir)
-    # N over the raw parquet scan: a zero-column count (metadata speed),
-    # not a count over the repartition shuffle the spread scan would pay
-    n_docs = _docs(spark, sf_dir).count()
     # fused single-pass scorer (r6): one tokenize Generate carrying doc_len
     # instead of separate postings + doc_stats passes — same scores, same
-    # oracle (ranking.tfidf_scores_docs docstring has the equivalence note)
+    # oracle (ranking.tfidf_scores_docs docstring has the equivalence note).
+    # N rides IN-PLAN as a broadcast 1-row count over the raw scan (no
+    # blocking count job; the spread shuffle never pays for it)
     scored = ranking.tfidf_scores_docs(
-        spark, docs, n_docs, TFIDF_QUERY, text_col="text"
+        spark,
+        docs,
+        ranking.count_df(_docs(spark, sf_dir)),
+        TFIDF_QUERY,
+        text_col="text",
     )
     return scored.select("doc_id", F.round("score", 4).alias("score")).orderBy(
         F.col("score").desc(), "doc_id"
@@ -320,9 +323,12 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_spread(spark, sf_dir)
-    n_docs = _docs(spark, sf_dir).count()
     scored = ranking.bm25_scores_docs(
-        spark, docs, n_docs, BM25_QUERY, text_col="text"
+        spark,
+        docs,
+        ranking.count_df(_docs(spark, sf_dir)),
+        BM25_QUERY,
+        text_col="text",
     )
     return scored.select("doc_id", F.round("score", 4).alias("score")).orderBy(
         F.col("score").desc(), "doc_id"
@@ -344,7 +350,7 @@ def q_tfidf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = ranking.tfidf_scores_batch_docs(
         spark,
         _docs_spread(spark, sf_dir),
-        _docs(spark, sf_dir).count(),
+        ranking.count_df(_docs(spark, sf_dir)),
         BATCH_QUERIES,
         text_col="text",
     )
@@ -360,7 +366,7 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = ranking.bm25_scores_batch_docs(
         spark,
         _docs_spread(spark, sf_dir),
-        _docs(spark, sf_dir).count(),
+        ranking.count_df(_docs(spark, sf_dir)),
         BATCH_QUERIES,
         text_col="text",
     )

@@ -362,18 +362,115 @@ def make_fetcher(n: int, fuse_parse: bool = True):
     from goprowl_spark import schemas
     from goprowl_spark.parse import parse_spans
 
-    def gen(batches):
-        # worker-side busy-time accounting (perf diagnosis only): append
+    def gen_arrow(batches):
+        # Fused fetch+parse as an ARROW-native pass: the spans column is a
+        # list<struct> and pandas object-dtype list-of-dict rows pay a
+        # per-element inference/convert on the way back to the JVM —
+        # building the ListArray/StructArray directly from flat Python
+        # lists was measured ~2x cheaper on the serialization half of the
+        # fetch wave (guide §4.2: hand whole batches to vectorized native
+        # code; the values are bit-identical, only the writer changes).
+        # Worker-side busy-time accounting (perf diagnosis only): append
         # "pid elapsed rows" per task so python CPU share of the fetch wave
-        # can be split from JVM/scheduling overhead
+        # can be split from JVM/scheduling overhead.
         import os as _os
         import time as _time
 
+        import pyarrow as pa
+
+        span_struct = pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+        out_schema = pa.schema(
+            [
+                ("url", pa.string()),
+                ("depth", pa.int32()),
+                ("status", pa.int32()),
+                ("fetch_latency_ms", pa.int32()),
+                ("spans", pa.list_(span_struct)),
+            ]
+        )
         _timing = _os.environ.get("GOPROWL_WORKER_TIMING")
         _busy = 0.0
         _rows = 0
-        for pdf in batches:
+        # canonical heads by host id: "https://hK.test" == url(i) up to
+        # "/p/", so `head == heads[host_id(i)]` validates the URL without
+        # re-building the whole canonical string per row
+        heads = [f"https://h{k}.test" for k in range(N_HOSTS)]
+        for rb in batches:
             _t0 = _time.time() if _timing else 0.0
+            urls = rb.column(0).to_pylist()
+            statuses, lats = [], []
+            kinds: list[str] = []
+            texts: list[str] = []
+            refs: list[str] = []
+            offs: list[int] = []
+            offsets = [0]
+            for u in urls:
+                i = None
+                head, sep, tail = u.rpartition("/p/")
+                if sep and tail.isdigit():
+                    cand = int(tail)
+                    # tail must round-trip (no leading zeros / unicode
+                    # digits) — together with the head check this equals
+                    # the old `url(cand) == u` without building the string
+                    if (
+                        0 <= cand < n
+                        and tail == str(cand)
+                        and head == heads[host_id(cand)]
+                    ):
+                        i = cand
+                if i is None:
+                    statuses.append(0)
+                    lats.append(None)
+                else:
+                    st = status(i)
+                    statuses.append(st)
+                    lats.append(latency_ms(i))
+                    if st == 200:
+                        for s in parse_spans(html(i, n), u):
+                            kinds.append(s["kind"])
+                            texts.append(s["text"])
+                            refs.append(s["media_ref"])
+                            offs.append(s["offset"])
+                offsets.append(len(kinds))
+            spans_arr = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.StructArray.from_arrays(
+                    [
+                        pa.array(kinds, pa.string()),
+                        pa.array(texts, pa.string()),
+                        pa.array(refs, pa.string()),
+                        pa.array(offs, pa.int32()),
+                    ],
+                    fields=list(span_struct),
+                ),
+            )
+            out = pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    rb.column(1),
+                    pa.array(statuses, pa.int32()),
+                    pa.array(lats, pa.int32()),
+                    spans_arr,
+                ],
+                schema=out_schema,
+            )
+            if _timing:
+                _busy += _time.time() - _t0
+                _rows += len(urls)
+            yield out
+        if _timing and _rows:
+            with open(_timing, "a") as fh:
+                fh.write(f"{_os.getpid()} {_busy:.3f} {_rows}\n")
+
+    def gen_raw(batches):
+        for pdf in batches:
             statuses, htmls, lats = [], [], []
             for u in pdf["url"]:
                 i = None
@@ -390,30 +487,15 @@ def make_fetcher(n: int, fuse_parse: bool = True):
                     statuses.append(status(i))
                     htmls.append(html(i, n))
                     lats.append(latency_ms(i))
-            cols = {
-                "url": pdf["url"],
-                "depth": pdf["depth"],
-                "status": pd.Series(statuses, dtype="int32"),
-                "fetch_latency_ms": pd.array(lats, dtype="Int32"),
-            }
-            if fuse_parse:
-                cols["spans"] = pd.Series(
-                    [
-                        parse_spans(h, u) if s == 200 else []
-                        for u, s, h in zip(pdf["url"], statuses, htmls)
-                    ],
-                    dtype="object",
-                )
-            else:
-                cols["html"] = htmls
-            out = pd.DataFrame(cols)
-            if _timing:
-                _busy += _time.time() - _t0
-                _rows += len(out)
-            yield out
-        if _timing and _rows:
-            with open(_timing, "a") as fh:
-                fh.write(f"{_os.getpid()} {_busy:.3f} {_rows}\n")
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "depth": pdf["depth"],
+                    "status": pd.Series(statuses, dtype="int32"),
+                    "fetch_latency_ms": pd.array(lats, dtype="Int32"),
+                    "html": htmls,
+                }
+            )
 
     span_t = schemas.DOCUMENTS["spans"].dataType.simpleString()
     fused_schema = (
@@ -425,9 +507,10 @@ def make_fetcher(n: int, fuse_parse: bool = True):
     )
 
     def fetch(batch: DataFrame) -> DataFrame:
-        return batch.select("url", "depth").mapInPandas(
-            gen, schema=fused_schema if fuse_parse else raw_schema
-        )
+        sel = batch.select("url", F.col("depth").cast("int").alias("depth"))
+        if fuse_parse:
+            return sel.mapInArrow(gen_arrow, schema=fused_schema)
+        return sel.mapInPandas(gen_raw, schema=raw_schema)
 
     return fetch
 

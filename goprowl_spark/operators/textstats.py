@@ -129,14 +129,19 @@ def unigram_logprob(
         ).alias("term"),
     )
     counts = toks.groupBy("term").agg(F.count("*").alias("c"))
-    total = toks.count()
+    # total tokens IN-PLAN from the (small) unigram table — the old
+    # `toks.count()` job re-ran the whole tokenize+explode pass just for
+    # this scalar; Σc over counts is the same integer at register cost
+    # (broadcast 1-row cross join, the avgdl idiom)
+    total = counts.agg(F.sum("c").cast("double").alias("_tot"))
     return (
         toks.join(counts, "term")
+        .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
             F.round(
-                F.avg(F.log(F.col("c").cast("double") / float(total))), 6
+                F.avg(F.log(F.col("c").cast("double") / F.col("_tot"))), 6
             ).alias("avg_logprob"),
         )
     )

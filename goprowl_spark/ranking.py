@@ -130,10 +130,25 @@ def _fused_query_postings(
     )
 
 
+def _total_docs_expr(base, total_docs):
+    """``total_docs`` as an in-plan double: an int becomes a literal; a
+    1-row DataFrame with column ``_n`` rides a broadcast cross join (one
+    fewer blocking count job per query — the count becomes a parallel
+    broadcast stage inside the main execution)."""
+    if isinstance(total_docs, DataFrame):
+        return base.crossJoin(F.broadcast(total_docs)), F.col("_n")
+    return base, F.lit(float(total_docs))
+
+
+def count_df(documents: DataFrame) -> DataFrame:
+    """1-row (_n double) corpus count for :func:`_total_docs_expr`."""
+    return documents.agg(F.count("*").cast("double").alias("_n"))
+
+
 def tfidf_scores_docs(
     spark: SparkSession,
     documents: DataFrame,
-    total_docs: int,
+    total_docs,
     query: str,
     id_col: str = "doc_id",
     text_col: str = "content",
@@ -146,7 +161,8 @@ def tfidf_scores_docs(
         documents, list(dict.fromkeys(tokenize(query))), id_col, text_col
     ).join(F.broadcast(terms), "term")
     df_col = F.count("*").over(Window.partitionBy("term"))
-    idf = 1.0 + F.floor(F.lit(float(total_docs)) / F.col("df"))
+    qpost, n = _total_docs_expr(qpost, total_docs)
+    idf = 1.0 + F.floor(n / F.col("df"))
     scored = (
         qpost.withColumn("df", df_col)
         .select(
@@ -166,7 +182,7 @@ def tfidf_scores_docs(
 def bm25_scores_docs(
     spark: SparkSession,
     documents: DataFrame,
-    total_docs: int,
+    total_docs,
     query: str,
     boost: float = 1.0,
     id_col: str = "doc_id",
@@ -188,7 +204,7 @@ def bm25_scores_docs(
         ).alias("_avgdl")
     )
     base = qpost.withColumn("df", df_col).crossJoin(F.broadcast(avgdl))
-    n = F.lit(float(total_docs))
+    base, n = _total_docs_expr(base, total_docs)
     idf = F.log(1 + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf = F.col("tf").cast("double")
     denom = tf + K1 * (1 - B + B * F.col("doc_len") / F.col("_avgdl"))
@@ -360,7 +376,7 @@ def tfidf_scores_batch(
 def tfidf_scores_batch_docs(
     spark: SparkSession,
     documents: DataFrame,
-    total_docs: int,
+    total_docs,
     queries: dict[str, str],
     id_col: str = "doc_id",
     text_col: str = "content",
@@ -375,7 +391,8 @@ def tfidf_scores_batch_docs(
     qpost = _fused_query_postings(
         documents, all_terms, id_col, text_col
     ).withColumn("df", F.count("*").over(Window.partitionBy("term")))
-    idf = 1.0 + F.floor(F.lit(float(total_docs)) / F.col("df"))
+    qpost, n = _total_docs_expr(qpost, total_docs)
+    idf = 1.0 + F.floor(n / F.col("df"))
     return (
         qpost.join(F.broadcast(terms), "term")
         .select(
@@ -395,7 +412,7 @@ def tfidf_scores_batch_docs(
 def bm25_scores_batch_docs(
     spark: SparkSession,
     documents: DataFrame,
-    total_docs: int,
+    total_docs,
     queries: dict[str, str],
     id_col: str = "doc_id",
     text_col: str = "content",
@@ -416,7 +433,7 @@ def bm25_scores_batch_docs(
         ).alias("_avgdl")
     )
     base = qpost.join(F.broadcast(terms), "term").crossJoin(F.broadcast(avgdl))
-    n = F.lit(float(total_docs))
+    base, n = _total_docs_expr(base, total_docs)
     idf = F.log(1 + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf = F.col("tf").cast("double")
     denom = tf + K1 * (1 - B + B * F.col("doc_len") / F.col("_avgdl"))
