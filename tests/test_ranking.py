@@ -185,3 +185,59 @@ def test_bm25_batch_matches_single_queries(spark):
         for qid, q in queries.items()
         for _ in R.bm25_scores(spark, postings, stats, 4, q).collect()
     )
+
+
+def test_fused_docs_scorers_match_classic_paths(spark, docs_df):
+    """r6 optimization pin: the fused single-pass scorers (one tokenize
+    Generate carrying doc_len, in-plan count/avgdl) must reproduce the
+    classic postings+doc_stats pipeline bit-for-bit, for int and in-plan
+    (count_df) total_docs alike."""
+    postings = R.build_postings(docs_df)
+    stats = R.build_doc_stats(docs_df)
+    queries = {"a": "spark data", "b": "big simple", "c": "spark spark ten"}
+    for q in ["spark data", "spark spark big", "missingterm", "ten big data"]:
+        classic_t = {
+            r["doc_id"]: round(r["score"], 9)
+            for r in R.tfidf_scores(spark, postings, stats, len(DOCS), q).collect()
+        }
+        classic_b = {
+            r["doc_id"]: round(r["score"], 9)
+            for r in R.bm25_scores(spark, postings, stats, len(DOCS), q).collect()
+        }
+        for total in (len(DOCS), R.count_df(docs_df)):
+            fused_t = {
+                r["doc_id"]: round(r["score"], 9)
+                for r in R.tfidf_scores_docs(spark, docs_df, total, q).collect()
+            }
+            fused_b = {
+                r["doc_id"]: round(r["score"], 9)
+                for r in R.bm25_scores_docs(spark, docs_df, total, q).collect()
+            }
+            assert fused_t == classic_t, q
+            assert fused_b == classic_b, q
+    classic_tb = {
+        (r["query_id"], r["doc_id"]): round(r["score"], 9)
+        for r in R.tfidf_scores_batch(
+            spark, postings, stats, len(DOCS), queries
+        ).collect()
+    }
+    classic_bb = {
+        (r["query_id"], r["doc_id"]): round(r["score"], 9)
+        for r in R.bm25_scores_batch(
+            spark, postings, stats, len(DOCS), queries
+        ).collect()
+    }
+    fused_tb = {
+        (r["query_id"], r["doc_id"]): round(r["score"], 9)
+        for r in R.tfidf_scores_batch_docs(
+            spark, docs_df, R.count_df(docs_df), queries
+        ).collect()
+    }
+    fused_bb = {
+        (r["query_id"], r["doc_id"]): round(r["score"], 9)
+        for r in R.bm25_scores_batch_docs(
+            spark, docs_df, R.count_df(docs_df), queries
+        ).collect()
+    }
+    assert fused_tb == classic_tb
+    assert fused_bb == classic_bb
