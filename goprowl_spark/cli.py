@@ -123,6 +123,14 @@ def cmd_curate(args) -> int:
             file=sys.stderr,
         )
         return 2
+    # a negative shard count would pmod into negative shard ids and write
+    # garbage shard=-N partition dirs while still exiting 0
+    if args.shards < 0:
+        print(
+            f"error: --shards must be >= 0, got {args.shards}",
+            file=sys.stderr,
+        )
+        return 2
 
     spark = get_spark("goprowl-curate")
     docs = spark.read.parquet(args.input)
@@ -155,18 +163,26 @@ def cmd_curate(args) -> int:
     # the output IS the curated corpus: full document rows (text included)
     # plus the mixture's token accounting columns
     out = docs.join(mix.select("doc_id", "ws_tokens", "cum_tokens"), "doc_id")
+    cached = None
     if args.shards:
         # dataloader layout: deterministic shard + within-shard position,
         # written as one parquet directory per shard (partitionBy). The
         # mixture is persisted first: the layout self-joins it, and an
         # uncached `out` would recompute the whole curation lineage twice
         # inside the write job.
-        out = out.persist()
+        cached = out = out.persist()
         layout = curation.training_shards(out, args.shards, tokens_col="ws_tokens")
         out = out.join(layout.select("doc_id", "shard", "position"), "doc_id")
-        out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
-    else:
-        out.write.mode("overwrite").parquet(args.output)
+    try:
+        if args.shards:
+            out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
+        else:
+            out.write.mode("overwrite").parquet(args.output)
+    finally:
+        # release cached blocks when invoked as a library function on a
+        # long-lived session (a CLI process exit would drop them anyway)
+        if cached is not None:
+            cached.unpersist()
     kept = spark.read.parquet(args.output)
     summary = kept.agg(
         F.count("*").alias("docs_kept"),
@@ -228,6 +244,36 @@ def cmd_sketch(args) -> int:
     estimated frequency clears --hh-threshold. One JSON line out."""
     from goprowl_spark.operators import sketches
 
+    # validate BEFORE any Spark job runs: a typo'd --quantiles used to
+    # fail only after the HLL and Count-Min passes had already executed,
+    # and --hist-bins < 1 made the bin expression divide by zero (NULL
+    # bins), silently emitting an empty quantiles list
+    qs: tuple[int, ...] = ()
+    if args.quantiles:
+        try:
+            qs = tuple(int(q) for q in args.quantiles.split(","))
+        except ValueError:
+            print(
+                f"error: --quantiles must be comma-separated integers, "
+                f"got {args.quantiles!r}",
+                file=sys.stderr,
+            )
+            return 2
+        bad = [q for q in qs if not 1 <= q <= 1000]
+        if bad:
+            print(
+                f"error: --quantiles values must be per-mille in [1, 1000], "
+                f"got {bad}",
+                file=sys.stderr,
+            )
+            return 2
+        if args.hist_bins < 1:
+            print(
+                f"error: --hist-bins must be >= 1, got {args.hist_bins}",
+                file=sys.stderr,
+            )
+            return 2
+
     spark = get_spark("goprowl-sketch")
     df = spark.read.parquet(args.input)
     hll = sketches.hll_distinct(df, args.column).collect()[0]
@@ -252,24 +298,7 @@ def cmd_sketch(args) -> int:
             }
             for r in hh
         ]
-    if args.quantiles:
-        try:
-            qs = tuple(int(q) for q in args.quantiles.split(","))
-        except ValueError:
-            print(
-                f"error: --quantiles must be comma-separated integers, "
-                f"got {args.quantiles!r}",
-                file=sys.stderr,
-            )
-            return 2
-        bad = [q for q in qs if not 1 <= q <= 1000]
-        if bad:
-            print(
-                f"error: --quantiles values must be per-mille in [1, 1000], "
-                f"got {bad}",
-                file=sys.stderr,
-            )
-            return 2
+    if qs:
         rows = sketches.hist_quantiles(
             df, args.column, n_bins=args.hist_bins, q_permille=qs
         ).collect()

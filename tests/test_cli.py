@@ -315,3 +315,39 @@ def test_cli_sketch_quantiles_rejects_bad_input(spark, capsys):
         )
         assert rc == 2, bad
         capsys.readouterr()
+
+
+def test_cli_sketch_rejects_nonpositive_hist_bins(spark, capsys):
+    """--hist-bins < 1 would NULL out the bin expression (divide by zero)
+    and silently emit an empty quantiles list; it must exit 2 instead —
+    and BEFORE any Spark job runs (same for the --quantiles checks)."""
+    for bad in ("0", "-8"):
+        rc = cli.main(
+            [
+                "sketch",
+                "--input", "/root/testdata/sf0.001/events.parquet",
+                "--column", "user_id",
+                "--quantiles", "500",
+                "--hist-bins", bad,
+            ]
+        )
+        assert rc == 2, bad
+        err = capsys.readouterr().err
+        assert "--hist-bins" in err
+
+
+def test_cli_curate_rejects_negative_shards(spark, tmp_path, capsys):
+    """--shards < 0 used to pmod into negative shard ids and write garbage
+    shard=-N partition dirs while exiting 0."""
+    rc = cli.main(
+        [
+            "curate",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(tmp_path / "mix"),
+            "--budget-tokens", "500",
+            "--shards", "-2",
+        ]
+    )
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "--shards" in err
