@@ -637,8 +637,15 @@ class CrawlEngine:
             compact = (
                 cfg.bloom_compact_every > 0 and r % cfg.bloom_compact_every == 0
             )
+            # host is a pure function of url (parse_url above) and the
+            # cogroup doesn't consult it — dropping it here keeps the
+            # host STRING out of the bucket shuffle AND the Python/Arrow
+            # round trip (≈20% fewer candidate bytes both ways); it is
+            # re-derived on the (smaller) post-dedup survivor set below.
+            # The shuffle-bound stage binds hardest on the many-core leg,
+            # so this is also a scaling-efficiency lever (guide §2.3).
             fused = seen_filter.probe_and_update(
-                raw_candidates,
+                raw_candidates.drop("host"),
                 blooms,
                 cfg.n_buckets,
                 cfg.bits_per_bucket,
@@ -675,7 +682,7 @@ class CrawlEngine:
             n_maybe = int(stats["n_maybe"])
             mark("dedup_cogroup_stats")
             probed = fused.where(F.col("filter_blob").isNull())
-            cand_cols = ["url", "url_hash", "host", "depth"]
+            cand_cols = ["url", "url_hash", "depth"]
             fresh = probed.where(~F.col("maybe_seen")).select(*cand_cols)
             maybe = probed.where(F.col("maybe_seen")).select(*cand_cols)
             if n_maybe == 0:
@@ -742,8 +749,16 @@ class CrawlEngine:
             if cfg.priority_fn is not None
             else -F.col("depth")
         )
+        # the bloom path dropped host before the cogroup (see above);
+        # re-derive it here with the same pure parse_url expression. The
+        # no-filter path still carries it through.
+        unseen_h = (
+            unseen
+            if "host" in unseen.columns
+            else unseen.withColumn("host", F.parse_url("url", F.lit("HOST")))
+        )
         new_entries = (
-            unseen.select(
+            unseen_h.select(
                 "url",
                 "url_hash",
                 "host",
