@@ -267,3 +267,23 @@ def test_crawl_engine_over_real_http_trace_equal(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_corpus_paragraph_title_tables_match_definitional_form():
+    """r6 optimization pin: the precomputed 64-entry paragraph/title tables
+    must reproduce word(i, k) = VOCAB[(i*31 + k*7) % V] joins exactly —
+    pure python, no Spark (the span_stats DuckDB oracle pins the same
+    content end-to-end, this is the fast unit-level witness)."""
+    V = len(corpus.VOCAB)
+
+    def word(i, k):
+        return corpus.VOCAB[(i * 31 + k * 7) % V]
+
+    for i in list(range(200)) + [4999, 63, 64, 65, 123457, 19999999]:
+        assert corpus.title(i) == f"Page {i} {word(i, 0)} {word(i, 1)} {word(i, 2)}"
+        for k in range(corpus.N_PARAS):
+            expect = " ".join(
+                word(i, 3 + k * corpus.PARA_WORDS + j)
+                for j in range(corpus.PARA_WORDS)
+            )
+            assert corpus.paragraph(i, k) == expect, (i, k)
